@@ -1,0 +1,113 @@
+"""Factored conv/pool primitives vs a torch oracle.
+
+Validates that the TPU-first 2-D lowering of spatial/temporal convs is
+numerically identical to the ``nn.Conv3d`` shapes the reference uses
+(models/spatiotempconv.py:34-45 etc.).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from vfd_gan_tpu.ops.convs import (  # noqa: E402
+    avg_pool3d,
+    conv3d,
+    conv3d_transpose,
+    max_pool3d,
+    r2plus1d_mid_channels,
+    spatial_conv,
+    temporal_conv,
+)
+
+rng = np.random.default_rng(3)
+B, T, H, W, CIN, COUT = 2, 4, 8, 8, 3, 5
+
+
+def _video():
+    return rng.normal(size=(B, T, H, W, CIN)).astype(np.float32)
+
+
+def _torch_conv3d(x_bthwc, w_tkkio, stride=(1, 1, 1), padding=(0, 0, 0)):
+    """Oracle: x (B,T,H,W,C) and kernel (kt,kh,kw,Cin,Cout) -> torch conv3d."""
+    xt = torch.from_numpy(np.transpose(x_bthwc, (0, 4, 1, 2, 3)))
+    wt = torch.from_numpy(np.transpose(w_tkkio, (4, 3, 0, 1, 2)))
+    y = F.conv3d(xt, wt, stride=stride, padding=padding)
+    return np.transpose(y.numpy(), (0, 2, 3, 4, 1))
+
+
+def test_spatial_conv_matches_torch():
+    x = _video()
+    w = rng.normal(size=(3, 3, CIN, COUT)).astype(np.float32) * 0.1
+    got = np.asarray(spatial_conv(jnp.asarray(x), jnp.asarray(w), padding=1))
+    want = _torch_conv3d(x, w[None], padding=(0, 1, 1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_temporal_conv_matches_torch():
+    x = _video()
+    w = rng.normal(size=(3, CIN, COUT)).astype(np.float32) * 0.1
+    got = np.asarray(temporal_conv(jnp.asarray(x), jnp.asarray(w), padding=1))
+    want = _torch_conv3d(x, w[:, None, None], padding=(1, 0, 0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv3d_matches_torch():
+    x = _video()
+    w = rng.normal(size=(3, 3, 3, CIN, COUT)).astype(np.float32) * 0.1
+    got = np.asarray(conv3d(jnp.asarray(x), jnp.asarray(w)))
+    want = _torch_conv3d(x, w, padding=(1, 1, 1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv3d_transpose_matches_torch():
+    # AnoGAN uses ConvTranspose3d(k=3, stride=2, pad=1, out_pad=1)
+    # (anogan.py:51-69)
+    x = _video()
+    w = rng.normal(size=(3, 3, 3, CIN, COUT)).astype(np.float32) * 0.1
+    got = np.asarray(conv3d_transpose(jnp.asarray(x), jnp.asarray(w),
+                                      stride=(2, 2, 2)))
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    # torch transpose-conv kernels are (Cin, Cout, kt, kh, kw)
+    wt = torch.from_numpy(np.transpose(w, (3, 4, 0, 1, 2)))
+    want = F.conv_transpose3d(xt, wt, stride=2, padding=1, output_padding=1)
+    want = np.transpose(want.numpy(), (0, 2, 3, 4, 1))
+    assert got.shape == want.shape == (B, 2 * T, 2 * H, 2 * W, COUT)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [(2, 2, 2), (1, 2, 2), (2, 1, 1)])
+def test_avg_pool3d_matches_torch(window):
+    x = _video()
+    got = np.asarray(avg_pool3d(jnp.asarray(x), window))
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    want = F.avg_pool3d(xt, window).numpy()
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)), atol=1e-6)
+
+
+def test_global_avg_pool_with_stride1():
+    # SDisc's global temporal pool AvgPool3d((nfr,1,1), stride=1)
+    # (mygannet.py:133)
+    x = _video()
+    got = np.asarray(avg_pool3d(jnp.asarray(x), (T, 1, 1), (1, 1, 1)))
+    assert got.shape == (B, 1, H, W, CIN)
+    np.testing.assert_allclose(got[:, 0], x.mean(axis=1), atol=1e-6)
+
+
+def test_max_pool3d_matches_torch():
+    # Xception: MaxPool3d((1,3,3), stride (1,2,2), padding (0,1,1))
+    # (xception.py:59)
+    x = _video()
+    got = np.asarray(max_pool3d(jnp.asarray(x), (1, 3, 3), (1, 2, 2), (0, 1, 1)))
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    want = F.max_pool3d(xt, (1, 3, 3), (1, 2, 2), (0, 1, 1)).numpy()
+    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)), atol=1e-6)
+
+
+def test_r2plus1d_mid_channels_formula():
+    # M = floor(t*k*k*Cin*Cout / (k*k*Cin + t*Cout))
+    # (models/spatiotempconv.py:44-45)
+    assert r2plus1d_mid_channels(3, 3, 3, 3, 32) == (3 * 3 * 3 * 3 * 32) // (3 * 3 * 3 + 3 * 32)
+    assert r2plus1d_mid_channels(3, 3, 3, 32, 64) == (3 * 3 * 3 * 32 * 64) // (3 * 3 * 32 + 3 * 64)

@@ -1,0 +1,121 @@
+"""Typed configuration for the TPU-native vfd_gan framework.
+
+The public flag surface mirrors the reference CLI (reference: lib/args.py:8-39)
+so a user of ``umaionigiri/vfd_gan`` can switch over without relearning flags:
+
+    --ep --tr_plist --ts_plist --result_root --isize --ich --nfr --batchsize
+    --workers --model --lr --beta1 --w_adv --w_con --pos_weight --freq
+    --resume --ae
+
+TPU-native additions are grouped at the bottom (device mesh, dtype policy,
+seed).  Unlike the reference, no defaults point at hardcoded cluster paths
+(reference quirk: lib/args.py:12-14), and ``--gpu`` is accepted but only used
+to derive a data-parallel device count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any
+
+MODELS = ("mygan", "anogan", "c2plus1d", "xception", "clstm", "ganomaly")
+
+
+@dataclasses.dataclass
+class Config:
+    """All knobs for training/eval.  Field names match reference flags."""
+
+    # Schedule
+    ep: int = 10
+
+    # Paths (no hardcoded cluster defaults, unlike lib/args.py:12-14)
+    tr_plist: str = ""
+    ts_plist: str = ""
+    result_root: str = "results"
+
+    # Data
+    isize: int = 128
+    ich: int = 3
+    nfr: int = 16
+    batchsize: int = 4
+    workers: int = 4
+
+    # Model selection (reference: lib/args.py:27)
+    model: str = "mygan"
+
+    # Optimisation (reference defaults: lib/args.py:30-36)
+    lr: float = 2e-5
+    beta1: float = 0.5
+    w_adv: float = 1.0
+    w_con: float = 10.0
+    pos_weight: float = 2.0
+    freq: int = 50
+
+    resume: str = ""
+    ae: bool = False
+
+    # ---- TPU-native extensions (no reference equivalent) ----
+    # Number of data-parallel shards; 0 = use all local devices.
+    dp: int = 0
+    # Computation dtype for the model body ("bfloat16" or "float32").
+    # Parameters and optimiser state always stay float32.
+    compute_dtype: str = "bfloat16"
+    # PRNG seed for init/augmentation/dropout/z-sampling.
+    seed: int = 0
+    # Whether BatchNorm batch statistics are synchronised across the DP mesh.
+    # The reference's DataParallel used per-replica statistics; cross-replica
+    # sync is the idiomatic (and stronger) TPU behaviour (SURVEY.md §2.3).
+    sync_bn: bool = True
+    # Host->device prefetch depth for the input pipeline.
+    prefetch: int = 2
+    # Emit a TensorBoard event file (scalars + video grids).
+    tensorboard: bool = True
+    # Use the host cv2 optical-flow path instead of the on-device kernel
+    # (parity-audit escape hatch; SURVEY.md §7 "hard parts").
+    host_flow: bool = False
+
+    def validate(self) -> "Config":
+        if self.model not in MODELS:
+            raise ValueError(f"unknown model {self.model!r}; expected one of {MODELS}")
+        if self.isize % 8 or self.nfr % 8:
+            # The U-Net/AnoGAN topologies halve T/H/W several times
+            # (reference shape walk: models/mygannet.py:55-99, anogan.py:39-79).
+            raise ValueError("isize and nfr must be multiples of 8")
+        if self.compute_dtype not in ("bfloat16", "float32"):
+            raise ValueError("compute_dtype must be bfloat16 or float32")
+        return self
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=4)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known}).validate()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Argparse front-end mirroring reference flag names (lib/args.py:8-39)."""
+    p = argparse.ArgumentParser(description="TPU-native vfd_gan trainer")
+    p.add_argument("--gpu", default="0", type=str,
+                   help="accepted for reference compatibility; device count is "
+                        "taken from --dp / jax.devices() instead")
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        flag = f"--{f.name}"
+        if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            p.add_argument(flag, default=getattr(defaults, f.name),
+                           action="store_true")
+        else:
+            p.add_argument(flag, default=getattr(defaults, f.name),
+                           type=type(getattr(defaults, f.name)))
+    return p
+
+
+def parse_args(argv: list[str] | None = None) -> Config:
+    ns = build_parser().parse_args(argv)
+    d = vars(ns)
+    d.pop("gpu", None)
+    return Config.from_dict(d)

@@ -1,0 +1,146 @@
+"""Factored video convolution / pooling primitives (TPU-first).
+
+The reference builds every model out of ``nn.Conv3d`` with kernels that are
+either spatial-only ``(1, k, k)``, temporal-only ``(t, 1, 1)``, or full 3-D
+(reference: models/spatiotempconv.py:34-45, mystcnn.py:12-13, xception.py:10-13,
+mygannet.py:204-205).  A true 3-D convolution is an awkward shape for the MXU;
+instead we lower each factored conv to a *2-D* convolution over a reshaped
+view, which XLA tiles directly onto the 128x128 systolic array:
+
+* spatial ``(1,k,k)`` conv  -> 2-D conv on ``(B*T, H, W, C)``
+* temporal ``(t,1,1)`` conv -> 2-D conv on ``(B, T, H*W, C)`` with a
+  ``(t, 1)`` kernel
+* full ``(t,k,k)`` conv     -> genuine 3-D ``conv_general_dilated`` (only the
+  small head convs need this)
+
+Layout is channel-last ``(B, T, H, W, C)`` everywhere; kernels are stored in
+``HWIO``-style orders given below.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def spatial_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
+                 padding: int | str = "SAME") -> jnp.ndarray:
+    """Per-frame 2-D convolution.
+
+    Args:
+      x: ``(B, T, H, W, C)``.
+      kernel: ``(kh, kw, Cin, Cout)``.
+      stride: spatial stride (both H and W).
+      padding: int (symmetric) or lax padding string.
+    """
+    b, t, h, w, c = x.shape
+    y = x.reshape(b * t, h, w, c)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = lax.conv_general_dilated(
+        y, kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, t, y.shape[1], y.shape[2], -1)
+
+
+def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
+                  padding: int | str = "SAME") -> jnp.ndarray:
+    """Per-pixel 1-D convolution along the frame axis.
+
+    Args:
+      x: ``(B, T, H, W, C)``.
+      kernel: ``(kt, Cin, Cout)``.
+    """
+    b, t, h, w, c = x.shape
+    y = x.reshape(b, t, h * w, c)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (0, 0)]
+    y = lax.conv_general_dilated(
+        y, kernel[:, None].astype(x.dtype),  # (kt, 1, Cin, Cout)
+        window_strides=(stride, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, y.shape[1], h, w, -1)
+
+
+def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, *,
+           stride: tuple[int, int, int] = (1, 1, 1),
+           padding=((1, 1), (1, 1), (1, 1))) -> jnp.ndarray:
+    """Full 3-D convolution for (t,k,k) kernels (e.g. 3x3x3 head convs).
+
+    Args:
+      x: ``(B, T, H, W, C)``.
+      kernel: ``(kt, kh, kw, Cin, Cout)``.
+    """
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * 3
+    return lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def conv3d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
+                     stride: tuple[int, int, int],
+                     padding: tuple[int, int, int] = (1, 1, 1),
+                     output_padding: tuple[int, int, int] = (1, 1, 1)) -> jnp.ndarray:
+    """``nn.ConvTranspose3d`` equivalent (used by AnoGAN, anogan.py:51-69).
+
+    Implements torch's semantics: out = (in-1)*stride - 2*pad + k + out_pad,
+    via input dilation + an adjusted padding conv with a flipped kernel.
+
+    Args:
+      x: ``(B, T, H, W, C)``; kernel: ``(kt, kh, kw, Cin, Cout)``.
+    """
+    k = kernel.shape[:3]
+    pad = [(k[i] - 1 - padding[i], k[i] - 1 - padding[i] + output_padding[i])
+           for i in range(3)]
+    flipped = jnp.flip(kernel, axis=(0, 1, 2))
+    return lax.conv_general_dilated(
+        x, flipped.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=pad,
+        lhs_dilation=stride,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
+               stride: tuple[int, int, int] | None = None) -> jnp.ndarray:
+    """``nn.AvgPool3d`` equivalent, VALID padding (all reference uses are
+    unpadded: mygannet.py:41,132-133,174-175, mystcnn.py:18, anogan.py:92-104).
+
+    ``x``: ``(B, T, H, W, C)``; ``window``/``stride`` over (T, H, W).
+    """
+    stride = stride or window
+    dims = (1, *window, 1)
+    strides = (1, *stride, 1)
+    summed = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add, dims,
+                               strides, "VALID")
+    return summed / jnp.asarray(window[0] * window[1] * window[2], x.dtype)
+
+
+def max_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
+               stride: tuple[int, int, int],
+               padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
+    """``nn.MaxPool3d`` equivalent with -inf padding (Xception, xception.py:59)."""
+    dims = (1, *window, 1)
+    strides = (1, *stride, 1)
+    pad = ((0, 0), *[(p, p) for p in padding], (0, 0))
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    return lax.reduce_window(x, neg, lax.max, dims, strides, pad)
+
+
+def r2plus1d_mid_channels(kt: int, kh: int, kw: int, cin: int, cout: int) -> int:
+    """Intermediate width M of a factored (2+1)D conv, from the R(2+1)D paper
+    formula the reference uses (models/spatiotempconv.py:44-45)."""
+    return int((kt * kh * kw * cin * cout) // (kh * kw * cin + kt * cout))

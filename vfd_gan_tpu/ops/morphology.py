@@ -1,0 +1,51 @@
+"""On-device morphological opening.
+
+The reference post-processes predicted masks with a CPU cv2 5x5 opening,
+round-tripping GPU->CPU->GPU on every train/test step
+(reference: lib/utils.py:139-147, call sites models/mygannet.py:289,397 and
+lib/train_stcnn.py:112,159).  Here it is a pair of ``lax.reduce_window``
+passes (erode = windowed min with +inf padding, dilate = windowed max with
+-inf padding), matching cv2's default border semantics where the constant
+border never wins the min/max.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _window_dims(ndim: int, k: int, spatial_axes: tuple[int, int]):
+    dims = [1] * ndim
+    for ax in spatial_axes:
+        dims[ax] = k
+    return tuple(dims)
+
+
+def erode(x: jnp.ndarray, k: int = 5, spatial_axes: tuple[int, int] = (-3, -2)):
+    """Windowed min over a ``k x k`` structuring element of ones."""
+    axes = tuple(ax % x.ndim for ax in spatial_axes)
+    dims = _window_dims(x.ndim, k, axes)
+    pad = tuple((k // 2, k // 2) if i in axes else (0, 0) for i in range(x.ndim))
+    return lax.reduce_window(x, jnp.inf, lax.min, dims, (1,) * x.ndim, pad)
+
+
+def dilate(x: jnp.ndarray, k: int = 5, spatial_axes: tuple[int, int] = (-3, -2)):
+    """Windowed max over a ``k x k`` structuring element of ones."""
+    axes = tuple(ax % x.ndim for ax in spatial_axes)
+    dims = _window_dims(x.ndim, k, axes)
+    pad = tuple((k // 2, k // 2) if i in axes else (0, 0) for i in range(x.ndim))
+    return lax.reduce_window(x, -jnp.inf, lax.max, dims, (1,) * x.ndim, pad)
+
+
+def morphology_open(video: jnp.ndarray, k: int = 5,
+                    spatial_axes: tuple[int, int] = (-3, -2)) -> jnp.ndarray:
+    """Opening (erode then dilate) per frame.
+
+    ``video`` is channel-last ``(B, T, H, W, C)`` by default (H, W at axes
+    -3, -2); works on any layout via ``spatial_axes``.
+    """
+    dtype = video.dtype
+    x = video.astype(jnp.float32)
+    return dilate(erode(x, k, spatial_axes), k, spatial_axes).astype(dtype)
