@@ -9,8 +9,11 @@ distributed-test strategy in SURVEY.md §4.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override the platform: the sandbox pre-sets JAX_PLATFORMS=axon (a
+# tunnelled remote TPU) and its sitecustomize imports jax at interpreter
+# startup, so the env var alone is read too early to help — the post-import
+# config.update below is what actually switches tests onto local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

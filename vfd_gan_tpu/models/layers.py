@@ -1,0 +1,161 @@
+"""Shared flax building blocks (channel-last video, factored convs).
+
+Capability equivalents of the reference primitives:
+* ``STConv``       <- models/spatiotempconv.py:7-65 (R(2+1)D factored conv)
+* ``GenConvBlock`` <- models/mygannet.py:13-28 (NetgConv: STConv+BN+LeakyReLU 0.2)
+* ``DiscConvBlock``<- models/mygannet.py:104-116 (NetdConv: default LeakyReLU 0.01)
+* ``VideoBatchNorm`` wraps flax BatchNorm with torch momentum/eps semantics
+  and optional cross-replica axis sync (SURVEY.md §2.3 BN note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vfd_gan_tpu.ops.convs import (
+    r2plus1d_mid_channels,
+    spatial_conv,
+    temporal_conv,
+)
+from vfd_gan_tpu.utils.init import (
+    bn_scale_init,
+    dcgan_normal_init,
+    torch_default_init,
+)
+
+Dtype = Any
+
+
+class VideoBatchNorm(nn.Module):
+    """BatchNorm over (B, T, H, W) per channel.
+
+    torch BatchNorm3d semantics: momentum 0.1 (flax momentum 0.9), eps 1e-5,
+    running stats updated in train mode.  ``axis_name`` enables cross-replica
+    statistics under shard_map (an upgrade over DataParallel's per-replica
+    stats; flagged in parity docs).
+    """
+
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            scale_init=bn_scale_init(),
+            bias_init=nn.initializers.zeros,
+            axis_name=self.axis_name if train else None,
+        )(x)
+
+
+class STConv(nn.Module):
+    """Factored (2+1)D convolution: spatial (1,kh,kw) conv -> BN -> ReLU ->
+    temporal (kt,1,1) conv, intermediate width from the R(2+1)D formula.
+
+    Acts as a drop-in 3-D conv like the reference's SpatioTemporalConv
+    (models/spatiotempconv.py:22-65).
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)   # (kt, kh, kw)
+    stride: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = (0, 0, 0)
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        kt, kh, kw = self.kernel_size
+        st, sh, sw = self.stride
+        pt, ph, pw = self.padding
+        cin = x.shape[-1]
+        mid = r2plus1d_mid_channels(kt, kh, kw, cin, self.features)
+
+        sk = self.param("spatial_kernel", dcgan_normal_init(),
+                        (kh, kw, cin, mid))
+        assert sh == sw, "anisotropic spatial stride unused by the reference"
+        y = spatial_conv(x, sk, stride=sh, padding=[(ph, ph), (pw, pw)])
+        if self.use_bias:
+            sb = self.param("spatial_bias", torch_default_init(cin * kh * kw),
+                            (mid,))
+            y = y + sb.astype(y.dtype)
+
+        y = VideoBatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                           name="mid_bn")(y, train)
+        y = nn.relu(y)
+
+        tk = self.param("temporal_kernel", dcgan_normal_init(),
+                        (kt, mid, self.features))
+        y = temporal_conv(y, tk, stride=st, padding=pt)
+        if self.use_bias:
+            tb = self.param("temporal_bias", torch_default_init(mid * kt),
+                            (self.features,))
+            y = y + tb.astype(y.dtype)
+        return y
+
+
+class GenConvBlock(nn.Module):
+    """STConv -> BN -> LeakyReLU(0.2): the generator's conv block
+    (models/mygannet.py:13-28, kernel k with SAME padding k//2)."""
+
+    features: int
+    kernel: int = 3
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        k = self.kernel
+        p = k // 2
+        y = STConv(self.features, (k, k, k), padding=(p, p, p),
+                   dtype=self.dtype, axis_name=self.axis_name,
+                   name="stconv")(x, train)
+        y = VideoBatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                           name="bn")(y, train)
+        return nn.leaky_relu(y, negative_slope=0.2)
+
+
+class DiscConvBlock(nn.Module):
+    """STConv -> BN -> LeakyReLU(default 0.01): the discriminator's conv
+    block (models/mygannet.py:104-116 — note the default slope, not 0.2)."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    padding: Sequence[int] = (1, 1, 1)
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = STConv(self.features, self.kernel_size, padding=self.padding,
+                   dtype=self.dtype, axis_name=self.axis_name,
+                   name="stconv")(x, train)
+        y = VideoBatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                           name="bn")(y, train)
+        return nn.leaky_relu(y, negative_slope=0.01)
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with PyTorch-default init (weights_init skips Linear)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.features,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_default_init(fan_in),
+            bias_init=torch_default_init(fan_in),
+        )(x)
