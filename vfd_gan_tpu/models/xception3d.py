@@ -1,0 +1,156 @@
+"""Xception-3D mask predictor — frame-wise separable convs + decoder.
+
+Capability rebuild of reference models/xception.py:7-174: an Xception trunk
+adapted to video by making every kernel spatial-only ``(1,3,3)`` (no temporal
+mixing anywhere), followed by a 4-stage upsampling decoder back to full
+resolution and a sigmoid mask head.
+
+Structure: stem (2 convs, first with spatial stride 2) -> 3 strided residual
+entry blocks (64->128->256->728) -> 8 identity middle blocks at 728 ->
+exit block (728->1024, grow-last) -> SepaConv 1536/2048 -> 4 DeConv
+upsample stages (1,2,2) -> 1-channel head.
+
+Note: the reference's "SepaConv" is *not* depthwise-separable — it is a full
+(1,3,3) conv followed by a full pointwise conv, each followed by ReLU
+(xception.py:7-21); we reproduce that faithfully.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vfd_gan_tpu.models.layers import VideoBatchNorm
+from vfd_gan_tpu.ops.convs import max_pool3d, spatial_conv
+from vfd_gan_tpu.ops.resize import upsample2x
+from vfd_gan_tpu.utils.init import dcgan_normal_init, torch_default_init
+
+Dtype = Any
+
+
+class SepaConv(nn.Module):
+    """(1,3,3) conv -> ReLU -> 1x1x1 pointwise conv -> ReLU
+    (reference: xception.py:7-21; both convs bias-free)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k1 = self.param("space_kernel", dcgan_normal_init(), (3, 3, cin, cin))
+        x = nn.relu(spatial_conv(x, k1, padding=1))
+        k2 = self.param("point_kernel", dcgan_normal_init(),
+                        (1, 1, cin, self.features))
+        return nn.relu(spatial_conv(x, k2, padding=0))
+
+
+class XceptionBlock(nn.Module):
+    """Residual block of `reps` SepaConvs with optional spatial-stride skip
+    (reference: xception.py:23-72)."""
+
+    features: int
+    reps: int
+    strides: int = 1
+    start_with_relu: bool = True
+    grow_first: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        cin = x.shape[-1]
+        bn = lambda name: VideoBatchNorm(dtype=self.dtype,
+                                         axis_name=self.axis_name, name=name)
+        y = x
+        widths = []
+        if self.grow_first:
+            widths.append(self.features)
+            widths += [self.features] * (self.reps - 1)
+        else:
+            widths += [cin] * (self.reps - 1)
+            widths.append(self.features)
+
+        for i, w in enumerate(widths):
+            if i > 0 or self.start_with_relu:
+                y = nn.relu(y)
+            y = SepaConv(w, dtype=self.dtype, name=f"sepa{i + 1}")(y)
+            y = bn(f"bn{i + 1}")(y, train)
+
+        if self.strides != 1:
+            y = max_pool3d(y, (1, 3, 3), (1, self.strides, self.strides),
+                           (0, 1, 1))
+
+        if self.features != cin or self.strides != 1:
+            sk = self.param("skip_kernel", dcgan_normal_init(),
+                            (1, 1, cin, self.features))
+            skip = spatial_conv(x, sk, stride=self.strides, padding=0)
+            skip = bn("skip_bn")(skip, train)
+        else:
+            skip = x
+        return y + skip
+
+
+class DeConvBlock(nn.Module):
+    """Decoder stage: (1,3,3) conv -> BN -> LeakyReLU(0.2) -> Dropout(0.25)
+    -> (1,2,2) trilinear upsample (reference: xception.py:74-89)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        cin = x.shape[-1]
+        k = self.param("kernel", dcgan_normal_init(), (3, 3, cin, self.features))
+        y = spatial_conv(x, k, padding=1)
+        y = VideoBatchNorm(dtype=self.dtype, axis_name=self.axis_name,
+                           name="bn")(y, train)
+        y = nn.leaky_relu(y, negative_slope=0.2)
+        y = nn.Dropout(rate=0.25, deterministic=not train)(y)
+        return upsample2x(y, (1, 2, 2))
+
+
+class Xception3D(nn.Module):
+    """Full Xception trunk + upsampling decoder (reference: xception.py:92-174)."""
+
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: VideoBatchNorm(dtype=self.dtype,
+                                         axis_name=self.axis_name, name=name)
+        blk = lambda f, reps, s, swr, gf, name: XceptionBlock(
+            f, reps, s, swr, gf, dtype=self.dtype, axis_name=self.axis_name,
+            name=name)
+
+        cin = x.shape[-1]
+        k1 = self.param("stem1_kernel", dcgan_normal_init(), (3, 3, cin, 32))
+        x = nn.relu(bn("stem1_bn")(spatial_conv(x, k1, stride=2, padding=1),
+                                   train))
+        k2 = self.param("stem2_kernel", dcgan_normal_init(), (3, 3, 32, 64))
+        x = nn.relu(bn("stem2_bn")(spatial_conv(x, k2, padding=1), train))
+
+        x = blk(128, 2, 2, False, True, "entry1")(x, train)
+        x = blk(256, 2, 2, False, True, "entry2")(x, train)
+        x = blk(728, 2, 2, False, True, "entry3")(x, train)
+        for i in range(8):
+            x = blk(728, 3, 1, True, True, f"middle{i + 1}")(x, train)
+        x = blk(1024, 2, 1, True, False, "exit")(x, train)
+
+        x = nn.relu(bn("head1_bn")(SepaConv(1536, dtype=self.dtype,
+                                            name="head1")(x), train))
+        x = nn.relu(bn("head2_bn")(SepaConv(2048, dtype=self.dtype,
+                                            name="head2")(x), train))
+
+        for i, f in enumerate((1024, 256, 128, 32)):
+            x = DeConvBlock(f, dtype=self.dtype, axis_name=self.axis_name,
+                            name=f"deconv{i + 1}")(x, train)
+
+        kh = self.param("head_kernel", dcgan_normal_init(), (3, 3, 32, 1))
+        bh = self.param("head_bias", torch_default_init(32 * 9), (1,))
+        y = spatial_conv(x, kh, padding=1) + bh.astype(x.dtype)
+        return nn.sigmoid(y.astype(jnp.float32))
