@@ -1,0 +1,8 @@
+from vfd_gan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]

@@ -1,0 +1,55 @@
+"""Device mesh + data-parallel sharding helpers.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(SURVEY.md §2.3; models/mygannet.py:232-237).  The TPU-native replacement is
+GSPMD data parallelism: a 1-D ``Mesh`` over the ICI axis ``"dp"``, batches
+sharded along axis 0, parameters replicated, and ``jit`` inserting the
+gradient all-reduce collectives.  This is strictly stronger than
+DataParallel (synchronised optimiser state, cross-replica BatchNorm
+statistics emerge from the global batch reductions under GSPMD).
+
+An explicit ``shard_map`` halo-exchange path for frame-axis (sequence)
+parallelism lives in :mod:`vfd_gan_tpu.parallel.temporal`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def auto_dp(batchsize: int, requested: int = 0, n_devices: int | None = None) -> int:
+    """Largest usable dp size: caps the request at the device count and
+    shrinks to a divisor of the global batch (sharding needs B % dp == 0)."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    dp = requested if requested > 0 else n
+    dp = min(dp, n, batchsize)
+    while batchsize % dp:
+        dp -= 1
+    return max(dp, 1)
+
+
+def make_mesh(dp: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh.  ``dp=0`` uses every local device."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp <= 0:
+        dp = len(devices)
+    if dp > len(devices):
+        raise ValueError(f"requested dp={dp} but only {len(devices)} devices")
+    return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) axis over the dp mesh axis."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a pytree of host arrays with batch-axis sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

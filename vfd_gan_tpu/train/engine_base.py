@@ -1,0 +1,89 @@
+"""Shared engine scaffolding: run dirs, summaries, best-metric tracking.
+
+Replaces the reference's ``GANBaseModel``/``VFD_STCNN`` boilerplate
+(lib/train_gan.py:17-57, lib/train_stcnn.py:19-50): run-dir layout,
+TensorBoard writer, config dump, periodic-summary dicts, ROC/PR best
+trackers and the best-checkpoint rule — save on ROC improvement, else on PR
+improvement (models/mygannet.py:449-454: the PR checkpoint is only written
+when ROC did *not* improve).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from vfd_gan_tpu.eval.metrics import evaluate
+from vfd_gan_tpu.obs.profiling import StepTimer
+from vfd_gan_tpu.obs.summary import SummaryLogger, make_run_dirs, run_comment
+from vfd_gan_tpu.parallel.mesh import auto_dp, make_mesh
+
+
+class EngineBase:
+    """Common state for all training engines."""
+
+    def __init__(self, cfg, train_iter, test_iter, *, gan: bool):
+        self.cfg = cfg
+        self.train_iter = train_iter
+        self.test_iter = test_iter
+        self.mesh = make_mesh(auto_dp(cfg.batchsize, cfg.dp))
+        self.dirs = make_run_dirs(cfg.result_root, cfg.model,
+                                  run_comment(cfg, gan=gan))
+        self.summary = SummaryLogger(self.dirs.runs, enabled=cfg.tensorboard)
+        self.summary.dump_config(self.dirs.root, cfg)
+
+        self.global_step = 0
+        self.epoch = 0
+        self.best_roc = 0.0
+        self.best_pr = 0.0
+        self.timer = StepTimer()
+
+        # Periodic-summary buffers (flushed every cfg.freq steps,
+        # lib/train_gan.py:76-80).
+        self.color_videos: dict[str, np.ndarray] = {}
+        self.gray_videos: dict[str, np.ndarray] = {}
+        self.errors: dict[str, float] = {}
+        self.scores: dict[str, float] = {}
+        self.hists: dict[str, np.ndarray] = {}
+
+        print(f"\n SAVE PATH == {self.dirs.root} \n")
+
+    # -- metrics + best-checkpoint rule ------------------------------------
+    def score_and_checkpoint(self, gts: np.ndarray, predicts: np.ndarray,
+                             save_fn) -> tuple[float, float, float]:
+        """Flatten, score ROC/PR/F1, update summary dicts, and trigger the
+        reference's if-roc-elif-pr checkpoint rule.  ``save_fn(head)`` writes
+        the weights."""
+        # The reference casts GT to int32 — truncation binarises fractional
+        # (resized) mask edges to 0 (models/mygannet.py:444).
+        labels = np.asarray(gts, dtype=np.int32).ravel()
+        preds = np.asarray(predicts).ravel()
+        roc = evaluate(labels, preds, self.best_roc, self.epoch,
+                       self.dirs.root, metric="roc")
+        pr = evaluate(labels, preds, self.best_pr, self.epoch,
+                      self.dirs.root, metric="pr")
+        f1 = evaluate(labels, preds, metric="f1_score")
+        if roc > self.best_roc:
+            self.best_roc = roc
+            save_fn("roc")
+        elif pr > self.best_pr:
+            self.best_pr = pr
+            save_fn("pr")
+        self.scores.update({"score/roc": roc, "score/pr": pr, "score/f1": f1})
+        return roc, pr, f1
+
+    def flush_summary(self) -> None:
+        self.summary.update(self.global_step,
+                            color_videos=self.color_videos,
+                            gray_videos=self.gray_videos,
+                            errors=self.errors,
+                            scores=self.scores,
+                            hists=self.hists)
+
+    def close(self) -> None:
+        self.summary.close()
+
+    # -- misc --------------------------------------------------------------
+    def weight_path(self, name: str) -> str:
+        return os.path.join(self.dirs.weights, name)

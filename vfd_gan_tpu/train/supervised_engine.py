@@ -1,0 +1,148 @@
+"""Supervised mask-prediction engine ("stcnn" path).
+
+Capability rebuild of reference lib/train_stcnn.py:18-197: select one of
+{c2plus1d, xception, clstm}, train with BCE(predict, gt) under Adam
+(beta1 from config), run the periodic test sweep scoring morphology-opened
+binary masks with pixel ROC/PR/F1, and checkpoint on best metric.
+
+TPU-native structure: one jitted train step = on-device augmentation +
+forward + loss + grads + Adam update, compiled once over a data-parallel
+mesh (batch sharded on axis 0, params replicated — GSPMD inserts the
+gradient all-reduce).  The periodic eval step is a second fixed-shape jit
+(threshold + morphological opening on device).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfd_gan_tpu.models import build_mask_model
+from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
+from vfd_gan_tpu.ops.image import threshold
+from vfd_gan_tpu.ops.losses import bce
+from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
+from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+from vfd_gan_tpu.train.engine_base import EngineBase
+from vfd_gan_tpu.train.state import NetState, make_adam
+
+
+class SupervisedEngine(EngineBase):
+    def __init__(self, cfg, train_iter, test_iter):
+        super().__init__(cfg, train_iter, test_iter, gan=False)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.model = build_mask_model(cfg.model, cfg, dtype)
+        self.tx = make_adam(cfg.lr, cfg.beta1)
+
+        key = jax.random.key(cfg.seed)
+        self.key, init_key, dropout_key = jax.random.split(key, 3)
+        sample = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
+                            cfg.ich), jnp.float32)
+        variables = self.model.init({"params": init_key,
+                                     "dropout": dropout_key}, sample, False)
+        self.state = NetState.create(variables, self.tx)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+
+        if cfg.resume:
+            restored = restore_checkpoint(
+                cfg.resume, {"state": self.state, "step": self.global_step})
+            self.state = jax.device_put(restored["state"],
+                                        replicated(self.mesh))
+            self.global_step = int(restored["step"])
+            print(f"\n Loaded pretrained weights from {cfg.resume}\n")
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- jitted steps ------------------------------------------------------
+    def _train_step_impl(self, state: NetState, batch, key):
+        aug_key, drop_key = jax.random.split(key)
+        data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
+                                       batch["mask"], self.cfg.isize)
+
+        def loss_fn(params):
+            pred, mut = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                data, True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key})
+            return bce(pred, gt), (pred, mut["batch_stats"])
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_grads(self.tx, grads, new_stats)
+
+        t_pre = threshold(pred)
+        m_pre = morphology_open(t_pre)
+        viz = {"data": data, "real": real, "gt": gt, "pred": pred,
+               "t_pre": t_pre, "m_pre": m_pre}
+        return state, loss, viz
+
+    def _eval_step_impl(self, state: NetState, batch):
+        data, real, gt = normalize_clips(batch["data"], batch["real"],
+                                         batch["mask"])
+        pred = self.model.apply(state.variables(), data, False)
+        m_pre = morphology_open(threshold(pred))
+        return bce(pred, gt), gt, pred, m_pre, data, real
+
+    # -- loops -------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        print(f" >> Training model {cfg.model}.")
+        for self.epoch in range(cfg.ep):
+            for batch in self.train_iter:
+                self.global_step += 1
+                self.key, step_key = jax.random.split(self.key)
+                sharded = shard_batch(self.mesh, batch)
+                self.state, loss, viz = self._train_step(
+                    self.state, sharded, step_key)
+                self.timer.tick()
+
+                if self.global_step % cfg.freq == 0:
+                    # Only sync device->host on the summary cadence; a
+                    # per-step float(loss) would stall the TPU pipeline.
+                    self.errors["loss/err/train"] = float(loss)
+                    self._update_train_videos(viz)
+                    self.test()
+                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
+                    self.flush_summary()
+        print("Training model Done.")
+
+    def _update_train_videos(self, viz) -> None:
+        d = {k: np.asarray(v) for k, v in viz.items()}
+        self.color_videos["train/input-real"] = np.concatenate(
+            [d["data"], d["real"]], axis=2)
+        self.gray_videos["train/gt-pre-th-mor"] = np.concatenate(
+            [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+
+    def test(self) -> tuple[float, float, float]:
+        gts, predicts, errs = [], [], []
+        for batch in self.test_iter:
+            sharded = shard_batch(self.mesh, batch)
+            err, gt, pred, m_pre, data, real = self._eval_step(self.state,
+                                                               sharded)
+            errs.append(float(err))
+            gts.append(np.asarray(gt))
+            # scored prediction = morphology-opened binary mask
+            # (lib/train_stcnn.py:158-162)
+            predicts.append(np.asarray(m_pre))
+            self.color_videos["test/input-real"] = np.concatenate(
+                [np.asarray(data), np.asarray(real)], axis=2)
+            self.gray_videos["test/mask-pre-th-mor"] = np.concatenate(
+                [np.asarray(gt), np.asarray(pred), np.asarray(threshold(pred)),
+                 np.asarray(m_pre)], axis=2)
+
+        roc, pr, f1 = self.score_and_checkpoint(
+            np.stack(gts), np.stack(predicts), self._save_weights)
+        self.errors["loss/err/test"] = float(np.mean(errs)) if errs else 0.0
+        return roc, pr, f1
+
+    def _save_weights(self, head: str) -> None:
+        name = f"{head}-{self.best_roc if head == 'roc' else self.best_pr:.4f}" \
+               f"_step{self.global_step:04d}"
+        save_checkpoint(self.weight_path(name),
+                        {"state": self.state, "step": self.global_step})
