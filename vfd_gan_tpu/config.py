@@ -56,6 +56,11 @@ class Config:
     resume: str = ""
     ae: bool = False
 
+    # Network widths (reference fixes ngf=ndf=32,
+    # models/mygannet.py:32,120).  Exposed for scaling studies and tests.
+    ngf: int = 32
+    ndf: int = 32
+
     # ---- TPU-native extensions (no reference equivalent) ----
     # Number of data-parallel shards; 0 = use all local devices.
     dp: int = 0

@@ -120,8 +120,21 @@ def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
     unpadded: mygannet.py:41,132-133,174-175, mystcnn.py:18, anogan.py:92-104).
 
     ``x``: ``(B, T, H, W, C)``; ``window``/``stride`` over (T, H, W).
+    The two shapes the reference uses lower to cheap reshape-means:
+    stride == window (block pooling) and full-axis windows with stride 1
+    (global pooling); anything else falls back to ``reduce_window``.
     """
     stride = stride or window
+    b, t, h, w, c = x.shape
+    if stride == window and t % window[0] == 0 and h % window[1] == 0 \
+            and w % window[2] == 0:
+        wt, wh, ww = window
+        y = x.reshape(b, t // wt, wt, h // wh, wh, w // ww, ww, c)
+        return y.mean(axis=(2, 4, 6))
+    if stride == (1, 1, 1) and all(
+            window[i] in (1, (t, h, w)[i]) for i in range(3)):
+        axes = tuple(i + 1 for i in range(3) if window[i] != 1)
+        return x.mean(axis=axes, keepdims=True) if axes else x
     dims = (1, *window, 1)
     strides = (1, *stride, 1)
     summed = lax.reduce_window(x, jnp.zeros((), x.dtype), lax.add, dims,

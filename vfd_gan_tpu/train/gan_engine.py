@@ -1,0 +1,313 @@
+"""MyGAN training engine — the proposed model's adversarial training loop.
+
+Capability rebuild of reference models/mygannet.py:216-475 +
+lib/train_gan.py:59-85, as ONE fused jitted step per iteration:
+
+  augment -> G forward -> on-device optical flow of (gt, predicted) mask
+  videos -> D forward (real pair, fake pair) -> G grads -> D grads ->
+  both Adam updates
+
+Reference semantics preserved exactly:
+
+* D consumes gray->RGB mask videos and their flow encodings, all *detached*
+  (models/mygannet.py:279-286) — so the adversarial feature-matching term
+  has no gradient path into G, and G learns from weighted BCE alone; the
+  adv loss is telemetry.  We reproduce this with ``stop_gradient`` and keep
+  the same loss decomposition in the logs.
+* ``pos_weight`` quirk: the flag is parsed but overridden — l_con is
+  ``weighted_bce`` at its default pos_weight=2 (models/mygannet.py:265-266).
+* D loss: BCE real->1 / fake->0 averaged over both branches then halved
+  (models/mygannet.py:323-332).
+* Both optimisers are Adam(lr, (beta1, 0.999)) (models/mygannet.py:270-273).
+* D BatchNorm sees real then fake sequentially (two stat updates per step).
+* The reference applies G's update before computing D's backward, but from
+  activations of the pre-update G — equivalent to computing both gradients
+  from one forward, which is what the fused step does.
+* Periodic test: predictions scored for AUC are the morphology-opened
+  *binary* masks (models/mygannet.py:395-399); full G/D loss telemetry per
+  batch; best-checkpoint rule if-roc-elif-pr saving paired G/D weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfd_gan_tpu.models.mygan import DualDisc, Generator
+from vfd_gan_tpu.models.stcnn import AutoEncoder
+from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
+from vfd_gan_tpu.ops.flow import video_to_flow_rgb
+from vfd_gan_tpu.ops.image import gray2rgb, threshold
+from vfd_gan_tpu.ops.losses import bce, l2_loss, weighted_bce
+from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
+from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+from vfd_gan_tpu.train.engine_base import EngineBase
+from vfd_gan_tpu.train.state import NetState, make_adam
+
+
+class MyGanEngine(EngineBase):
+    def __init__(self, cfg, train_iter, test_iter):
+        super().__init__(cfg, train_iter, test_iter, gan=True)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        if cfg.ae:
+            print("\n --Using C2plus1d AutoEncoder as G-- ")
+            self.netg = AutoEncoder(dtype=dtype)
+        else:
+            self.netg = Generator(ngf=cfg.ngf, dtype=dtype)
+        self.netd = DualDisc(ndf=cfg.ndf, dtype=dtype)
+        self.tx_g = make_adam(cfg.lr, cfg.beta1)
+        self.tx_d = make_adam(cfg.lr, cfg.beta1)
+
+        key = jax.random.key(cfg.seed)
+        self.key, kg, kd, kdrop = jax.random.split(key, 4)
+        video = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
+                           cfg.ich), jnp.float32)
+        mask3 = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize, 3),
+                          jnp.float32)
+        g_vars = self.netg.init({"params": kg, "dropout": kdrop}, video, False)
+        d_vars = self.netd.init({"params": kd}, mask3, mask3, False)
+        self.g_state = NetState.create(g_vars, self.tx_g)
+        self.d_state = NetState.create(d_vars, self.tx_d)
+        self.g_state = jax.device_put(self.g_state, replicated(self.mesh))
+        self.d_state = jax.device_put(self.d_state, replicated(self.mesh))
+
+        if cfg.resume:
+            restored = restore_checkpoint(cfg.resume, self._ckpt_tree())
+            self.g_state = jax.device_put(restored["netG"],
+                                          replicated(self.mesh))
+            self.d_state = jax.device_put(restored["netD"],
+                                          replicated(self.mesh))
+            self.global_step = int(restored["step"])
+            print(f"\n Loaded pretrained G/D weights from {cfg.resume}\n")
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def _disc_losses(self, d_params, d_stats, gt_3ch, gt_flow, pre_3ch,
+                     pre_flow, train: bool):
+        """Sequential real/fake D passes (matching the reference's two
+        forward calls); returns scores, features, final BN stats."""
+        if train:
+            (s_r, sf_r, t_r, tf_r), mut = self.netd.apply(
+                {"params": d_params, "batch_stats": d_stats},
+                gt_3ch, gt_flow, True, mutable=["batch_stats"])
+            (s_f, sf_f, t_f, tf_f), mut = self.netd.apply(
+                {"params": d_params, "batch_stats": mut["batch_stats"]},
+                pre_3ch, pre_flow, True, mutable=["batch_stats"])
+            new_stats = mut["batch_stats"]
+        else:
+            s_r, sf_r, t_r, tf_r = self.netd.apply(
+                {"params": d_params, "batch_stats": d_stats},
+                gt_3ch, gt_flow, False)
+            s_f, sf_f, t_f, tf_f = self.netd.apply(
+                {"params": d_params, "batch_stats": d_stats},
+                pre_3ch, pre_flow, False)
+            new_stats = d_stats
+        return (s_r, sf_r, t_r, tf_r), (s_f, sf_f, t_f, tf_f), new_stats
+
+    def _train_step_impl(self, g_state: NetState, d_state: NetState, batch,
+                         key):
+        cfg = self.cfg
+        aug_key, drop_key = jax.random.split(key)
+        data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
+                                       batch["mask"], cfg.isize)
+        ones = jnp.ones((data.shape[0],), jnp.float32)
+        zeros = jnp.zeros((data.shape[0],), jnp.float32)
+
+        # ---- G forward + generator update (grads flow through l_con only,
+        # matching the detached adv path, models/mygannet.py:279-312) ----
+        def g_loss_fn(g_params):
+            pred, mut = self.netg.apply(
+                {"params": g_params, "batch_stats": g_state.batch_stats},
+                data, True, mutable=["batch_stats"],
+                rngs={"dropout": drop_key})
+            # pos_weight quirk: fixed default 2 (models/mygannet.py:265-266)
+            err_g_con = weighted_bce(pred, gt)
+            return err_g_con * cfg.w_con, (pred, mut["batch_stats"])
+
+        (g_con_scaled, (pred, g_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params)
+
+        # ---- flow + D inputs (all stop_gradient, models/mygannet.py:279-286)
+        pred_sg = jax.lax.stop_gradient(pred)
+        gt_3ch = gray2rgb(gt)
+        pre_3ch = gray2rgb(pred_sg)
+        gt_flow = video_to_flow_rgb(gt_3ch)
+        pre_flow = video_to_flow_rgb(pre_3ch)
+
+        # ---- D update ----
+        def d_loss_fn(d_params):
+            real_out, fake_out, d_stats = self._disc_losses(
+                d_params, d_state.batch_stats, gt_3ch, gt_flow, pre_3ch,
+                pre_flow, train=True)
+            s_r, sf_r, t_r, tf_r = real_out
+            s_f, sf_f, t_f, tf_f = fake_out
+            err_d_real_s = bce(s_r, ones)
+            err_d_real_t = bce(t_r, ones)
+            err_d_fake_s = bce(s_f, zeros)
+            err_d_fake_t = bce(t_f, zeros)
+            err_d_real = (err_d_real_s + err_d_real_t) * 0.5
+            err_d_fake = (err_d_fake_s + err_d_fake_t) * 0.5
+            err_d = (err_d_real + err_d_fake) * 0.5
+            aux = {
+                "d/err_d_real_s/train": err_d_real_s,
+                "d/err_d_real_t/train": err_d_real_t,
+                "d/err_d_fake_s/train": err_d_fake_s,
+                "d/err_d_fake_t/train": err_d_fake_t,
+                "d/err_d_real/train": err_d_real,
+                "d/err_d_fake/train": err_d_fake,
+                "d/err_d/train": err_d,
+            }
+            return err_d, (aux, d_stats, (sf_r, tf_r, sf_f, tf_f))
+
+        (_, (d_aux, d_stats, feats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params)
+
+        # adversarial telemetry (no G gradient by construction)
+        sf_r, tf_r, sf_f, tf_f = feats
+        err_g_adv_s = l2_loss(sf_r.astype(jnp.float32),
+                              sf_f.astype(jnp.float32))
+        err_g_adv_t = l2_loss(tf_r.astype(jnp.float32),
+                              tf_f.astype(jnp.float32))
+        err_g_adv = err_g_adv_s + err_g_adv_t
+        err_g_con = g_con_scaled / cfg.w_con
+        err_g = err_g_adv * cfg.w_adv + g_con_scaled
+
+        g_state = g_state.apply_grads(self.tx_g, g_grads, g_stats)
+        d_state = d_state.apply_grads(self.tx_d, d_grads, d_stats)
+
+        metrics = dict(d_aux)
+        metrics.update({
+            "g/err_g/train": err_g,
+            "g/err_g_adv/train": err_g_adv,
+            "g/err_g_adv_s/train": err_g_adv_s,
+            "g/err_g_adv_t/train": err_g_adv_t,
+            "g/err_g_con/train": err_g_con,
+        })
+
+        t_pre = threshold(pred_sg)
+        m_pre = morphology_open(t_pre)
+        viz = {"input": data, "real": real, "gt": gt, "pred": pred_sg,
+               "t_pre": t_pre, "m_pre": m_pre, "gt_flow": gt_flow,
+               "pre_flow": pre_flow}
+        return g_state, d_state, metrics, viz
+
+    def _eval_step_impl(self, g_state: NetState, d_state: NetState, batch):
+        cfg = self.cfg
+        data, real, gt = normalize_clips(batch["data"], batch["real"],
+                                         batch["mask"])
+        ones = jnp.ones((data.shape[0],), jnp.float32)
+        zeros = jnp.zeros((data.shape[0],), jnp.float32)
+
+        pred = self.netg.apply(g_state.variables(), data, False)
+        t_pre = threshold(pred)
+        m_pre = morphology_open(t_pre)
+
+        gt_3ch = gray2rgb(gt)
+        pre_3ch = gray2rgb(pred)
+        gt_flow = video_to_flow_rgb(gt_3ch)
+        pre_flow = video_to_flow_rgb(pre_3ch)
+
+        real_out, fake_out, _ = self._disc_losses(
+            d_state.params, d_state.batch_stats, gt_3ch, gt_flow, pre_3ch,
+            pre_flow, train=False)
+        s_r, sf_r, t_r, tf_r = real_out
+        s_f, sf_f, t_f, tf_f = fake_out
+
+        err_g_adv_s = l2_loss(sf_r.astype(jnp.float32), sf_f.astype(jnp.float32))
+        err_g_adv_t = l2_loss(tf_r.astype(jnp.float32), tf_f.astype(jnp.float32))
+        err_g_con = weighted_bce(pred, gt)
+        err_d_real_s = bce(s_r, ones)
+        err_d_real_t = bce(t_r, ones)
+        err_d_fake_s = bce(s_f, zeros)
+        err_d_fake_t = bce(t_f, zeros)
+        metrics = {
+            "g/err_g_adv_s/test": err_g_adv_s,
+            "g/err_g_adv_t/test": err_g_adv_t,
+            "g/err_g_adv/test": err_g_adv_s + err_g_adv_t,
+            "g/err_g_con/test": err_g_con,
+            # reference computes the combined test err_g from the *temporal*
+            # adv term only (models/mygannet.py:416)
+            "g/err_g/test": err_g_adv_t * cfg.w_adv + err_g_con * cfg.w_con,
+            "d/err_d_real_s/test": err_d_real_s,
+            "d/err_d_real_t/test": err_d_real_t,
+            "d/err_d_fake_s/test": err_d_fake_s,
+            "d/err_d_fake_t/test": err_d_fake_t,
+        }
+        metrics["d/err_d_real/test"] = (err_d_real_s + err_d_real_t) * 0.5
+        metrics["d/err_d_fake/test"] = (err_d_fake_s + err_d_fake_t) * 0.5
+        metrics["d/err_d/test"] = (metrics["d/err_d_real/test"]
+                                   + metrics["d/err_d_fake/test"]) * 0.5
+        viz = {"input": data, "real": real, "gt": gt, "pred": pred,
+               "t_pre": t_pre, "m_pre": m_pre}
+        return gt, m_pre, metrics, viz
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        print(f" >> Training model {cfg.model}.")
+        for self.epoch in range(cfg.ep):
+            for batch in self.train_iter:
+                self.global_step += 1
+                self.key, step_key = jax.random.split(self.key)
+                sharded = shard_batch(self.mesh, batch)
+                self.g_state, self.d_state, metrics, viz = self._train_step(
+                    self.g_state, self.d_state, sharded, step_key)
+                self.timer.tick()
+
+                if self.global_step % cfg.freq == 0:
+                    self.errors.update(
+                        {k: float(v) for k, v in metrics.items()})
+                    self._update_train_videos(viz)
+                    self.test()
+                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
+                    self.flush_summary()
+        print(f" >> Training model {cfg.model}.[Done]")
+
+    def _update_train_videos(self, viz) -> None:
+        d = {k: np.asarray(v) for k, v in viz.items()}
+        self.color_videos["train/input-real-inflow-genflow"] = np.concatenate(
+            [d["input"], d["real"], d["gt_flow"], d["pre_flow"]], axis=2)
+        self.gray_videos["train/gt-pre-th-morph"] = np.concatenate(
+            [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+        self.hists.update({f"train/{k}": d[k].ravel()
+                           for k in ("input", "gt", "pred", "t_pre", "m_pre")})
+
+    def test(self) -> tuple[float, float, float]:
+        gts, predicts = [], []
+        sums: dict[str, float] = {}
+        n = 0
+        for batch in self.test_iter:
+            sharded = shard_batch(self.mesh, batch)
+            gt, m_pre, metrics, viz = self._eval_step(self.g_state,
+                                                      self.d_state, sharded)
+            gts.append(np.asarray(gt))
+            predicts.append(np.asarray(m_pre))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            d = {k: np.asarray(v) for k, v in viz.items()}
+            self.color_videos["test/input-real"] = np.concatenate(
+                [d["input"], d["real"]], axis=2)
+            self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
+                [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+
+        roc, pr, f1 = self.score_and_checkpoint(
+            np.stack(gts), np.stack(predicts), self._save_weights)
+        if n:
+            self.errors.update({k: v / n for k, v in sums.items()})
+        return roc, pr, f1
+
+    # ------------------------------------------------------------------
+    def _ckpt_tree(self):
+        return {"netG": self.g_state, "netD": self.d_state,
+                "step": self.global_step}
+
+    def _save_weights(self, head: str) -> None:
+        name = f"{head}_ep{self.epoch:04d}"
+        save_checkpoint(self.weight_path(name), self._ckpt_tree())
