@@ -1,0 +1,214 @@
+"""AnoGAN training engine — DCGAN alternating updates + |G(z)-x| scoring.
+
+Capability rebuild of reference models/anogan.py:121-266:
+
+* D step first: BCE(D(real), 1) + BCE(D(G(z)) with z ~ N(0,1)^100, 0);
+  G output detached for the D update (anogan.py:231-243).
+* G step second, using the *updated* D (the reference calls d_opt.step()
+  before G's backward, anogan.py:243-250): BCE(D(G(z)), 1).
+* G's learning rate is 5x D's (anogan.py:139-140).
+* Forgery prediction = per-time-slab min-max normalised |G(z) - real|,
+  grayscaled (predict_forg, anogan.py:24-37) — computed on device here.
+* Test sweep scores the *raw* normalised difference heat-map (not the
+  morphologised mask — anogan.py:184-185 appends ``predict_``), with
+  threshold+morphology still computed for the video summaries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfd_gan_tpu.models.anogan import AnoDiscriminator, AnoGenerator, Z_DIM
+from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
+from vfd_gan_tpu.ops.image import minmax_normalize, rgb_to_gray, threshold
+from vfd_gan_tpu.ops.losses import bce
+from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
+from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+from vfd_gan_tpu.train.engine_base import EngineBase
+from vfd_gan_tpu.train.state import NetState, make_adam
+
+
+def predict_forgery(fake, real):
+    """|G(z) - real| -> per-time-slab min-max normalise -> grayscale
+    (reference predict_forg, anogan.py:24-37).  Channel-last videos."""
+    diff = jnp.abs(fake - real)
+    # normalise each time slab across (B, H, W, C) jointly, like
+    # ``normalize(v) for v in diff.permute(2, 0, 1, 3, 4)``
+    norm = jnp.moveaxis(
+        jax.vmap(minmax_normalize)(jnp.moveaxis(diff, 1, 0)), 0, 1)
+    return rgb_to_gray(norm)
+
+
+class AnoGanEngine(EngineBase):
+    def __init__(self, cfg, train_iter, test_iter):
+        super().__init__(cfg, train_iter, test_iter, gan=True)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.netg = AnoGenerator(nfr=cfg.nfr, isize=cfg.isize, dtype=dtype)
+        self.netd = AnoDiscriminator(dtype=dtype)
+        # G lr = 5x D lr (anogan.py:139-140); both beta1=0.5 fixed.
+        self.tx_g = make_adam(5 * cfg.lr, 0.5)
+        self.tx_d = make_adam(cfg.lr, 0.5)
+
+        key = jax.random.key(cfg.seed)
+        self.key, kg, kd, kdrop = jax.random.split(key, 4)
+        z = jnp.zeros((cfg.batchsize, Z_DIM), jnp.float32)
+        video = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize, 3),
+                          jnp.float32)
+        g_vars = self.netg.init({"params": kg, "dropout": kdrop}, z, False)
+        d_vars = self.netd.init({"params": kd}, video, False)
+        self.g_state = NetState.create(g_vars, self.tx_g)
+        self.d_state = NetState.create(d_vars, self.tx_d)
+        self.g_state = jax.device_put(self.g_state, replicated(self.mesh))
+        self.d_state = jax.device_put(self.d_state, replicated(self.mesh))
+
+        if cfg.resume:
+            restored = restore_checkpoint(cfg.resume, self._ckpt_tree())
+            self.g_state = jax.device_put(restored["netG"], replicated(self.mesh))
+            self.d_state = jax.device_put(restored["netD"], replicated(self.mesh))
+            self.global_step = int(restored["step"])
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, g_state: NetState, d_state: NetState, batch,
+                         key):
+        cfg = self.cfg
+        aug_key, z_key, drop_key = jax.random.split(key, 3)
+        data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
+                                       batch["mask"], cfg.isize)
+        b = data.shape[0]
+        ones, zeros = jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)
+        z = jax.random.normal(z_key, (b, Z_DIM), jnp.float32)
+
+        # G forward once; its output feeds both updates (anogan.py:237-247).
+        fake, g_mut = self.netg.apply(
+            {"params": g_state.params, "batch_stats": g_state.batch_stats},
+            z, True, mutable=["batch_stats"], rngs={"dropout": drop_key})
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- D step (real -> 1, detached fake -> 0) ----
+        def d_loss_fn(d_params):
+            (s_real, _), mut = self.netd.apply(
+                {"params": d_params, "batch_stats": d_state.batch_stats},
+                real, True, mutable=["batch_stats"])
+            loss_real = bce(s_real, ones)
+            (s_fake, _), mut = self.netd.apply(
+                {"params": d_params, "batch_stats": mut["batch_stats"]},
+                fake_sg, True, mutable=["batch_stats"])
+            loss_fake = bce(s_fake, zeros)
+            return loss_real + loss_fake, (mut["batch_stats"],)
+
+        (d_loss, (d_stats,)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_state.params)
+        d_state = d_state.apply_grads(self.tx_d, d_grads, d_stats)
+
+        # ---- G step against the UPDATED D (anogan.py:243-250) ----
+        def g_loss_fn(g_params):
+            fk, mut = self.netg.apply(
+                {"params": g_params, "batch_stats": g_state.batch_stats},
+                z, True, mutable=["batch_stats"], rngs={"dropout": drop_key})
+            (s_fake, _), _ = self.netd.apply(
+                {"params": d_state.params, "batch_stats": d_state.batch_stats},
+                fk, True, mutable=["batch_stats"])
+            return bce(s_fake, ones), (mut["batch_stats"],)
+
+        (g_loss, (g_stats,)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_state.params)
+        g_state = g_state.apply_grads(self.tx_g, g_grads, g_stats)
+
+        pred = predict_forgery(fake_sg, real)
+        t_pre = threshold(pred)
+        m_pre = morphology_open(t_pre)
+        metrics = {"d/err_d/train": d_loss, "g/err_g/train": g_loss}
+        viz = {"input": data, "real": real, "gen": fake_sg, "gt": gt,
+               "pred": pred, "t_pre": t_pre, "m_pre": m_pre}
+        return g_state, d_state, metrics, viz
+
+    def _eval_step_impl(self, g_state: NetState, d_state: NetState, batch,
+                        key):
+        data, real, gt = normalize_clips(batch["data"], batch["real"],
+                                         batch["mask"])
+        b = data.shape[0]
+        ones, zeros = jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)
+        z = jax.random.normal(key, (b, Z_DIM), jnp.float32)
+
+        fake = self.netg.apply(g_state.variables(), z, False)
+        s_real, _ = self.netd.apply(d_state.variables(), real, False)
+        s_fake, _ = self.netd.apply(d_state.variables(), fake, False)
+
+        pred = predict_forgery(fake, real)
+        t_pre = threshold(pred)
+        m_pre = morphology_open(t_pre)
+        metrics = {
+            "d/err_d/test": bce(s_real, ones) + bce(s_fake, zeros),
+            "g/err_g/test": bce(s_fake, ones),
+        }
+        viz = {"input": data, "real": real, "gen": fake, "gt": gt,
+               "pred": pred, "t_pre": t_pre, "m_pre": m_pre}
+        return gt, pred, metrics, viz
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        print(f" >> Training model {cfg.model}.")
+        for self.epoch in range(cfg.ep):
+            for batch in self.train_iter:
+                self.global_step += 1
+                self.key, step_key = jax.random.split(self.key)
+                sharded = shard_batch(self.mesh, batch)
+                self.g_state, self.d_state, metrics, viz = self._train_step(
+                    self.g_state, self.d_state, sharded, step_key)
+                self.timer.tick()
+
+                if self.global_step % cfg.freq == 0:
+                    self.errors.update({k: float(v) for k, v in metrics.items()})
+                    d = {k: np.asarray(v) for k, v in viz.items()}
+                    self.color_videos["train/input-real-gen"] = np.concatenate(
+                        [d["input"], d["real"], d["gen"]], axis=2)
+                    self.gray_videos["train/gt-pre-th-mor"] = np.concatenate(
+                        [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+                    self.test()
+                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
+                    self.flush_summary()
+        print(f" >> Training model {cfg.model}.[Done]")
+
+    def test(self) -> tuple[float, float, float]:
+        gts, predicts = [], []
+        sums: dict[str, float] = {}
+        n = 0
+        for batch in self.test_iter:
+            self.key, step_key = jax.random.split(self.key)
+            sharded = shard_batch(self.mesh, batch)
+            gt, pred, metrics, viz = self._eval_step(self.g_state,
+                                                     self.d_state, sharded,
+                                                     step_key)
+            gts.append(np.asarray(gt))
+            # raw heat-map scored, not the morphologised mask
+            # (anogan.py:184-185)
+            predicts.append(np.asarray(pred))
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+            d = {k: np.asarray(v) for k, v in viz.items()}
+            self.color_videos["test/input-real-gen"] = np.concatenate(
+                [d["input"], d["real"], d["gen"]], axis=2)
+            self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
+                [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+
+        roc, pr, f1 = self.score_and_checkpoint(
+            np.stack(gts), np.stack(predicts), self._save_weights)
+        if n:
+            self.errors.update({k: v / n for k, v in sums.items()})
+        return roc, pr, f1
+
+    def _ckpt_tree(self):
+        return {"netG": self.g_state, "netD": self.d_state,
+                "step": self.global_step}
+
+    def _save_weights(self, head: str) -> None:
+        save_checkpoint(self.weight_path(f"{head}_ep{self.epoch:04d}"),
+                        self._ckpt_tree())
