@@ -1,0 +1,141 @@
+"""Standalone multi-checkpoint comparison eval — reference ``test.py`` UX.
+
+Reference semantics (test.py:146-206) preserved:
+
+* ``--test_data_path`` (path list) + ``--test_model_list_path`` (text file of
+  checkpoint paths), ``--metric roc|pr``.
+* Loader: test transforms, batchsize, drop_last, **shuffle=False**
+  (test.py:159 — unlike the in-training sweeps).
+* Model dispatch by checkpoint-path substring: 'ganbase'/'mygan' -> the GAN
+  generator, 'c2plus1d' -> AutoEncoder, 'xception' -> Xception3D,
+  'clstm' -> ConvLSTMModel (test.py:115-144).
+* Scores are the **raw sigmoid masks** (not morphologised — test.py:181-186;
+  threshold/morphology still computed, only for optional image dumps).
+* All models' ROC (or PR) curves are overlaid on one shared figure saved as
+  ``{metric}_curve.png``; per-model AUC/EER in the legend; F1 printed.
+
+The argument-passing bugs in the reference's local evaluate() dispatch
+(test.py:43,47) are not reproduced.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from vfd_gan_tpu.data import ClipBatchIterator, MdfVideoDataset  # noqa: E402
+from vfd_gan_tpu.eval.metrics import evaluate, pr_auc, roc_auc_with_eer  # noqa: E402
+from vfd_gan_tpu.ops.augment import normalize_clips  # noqa: E402
+from vfd_gan_tpu.train.checkpoints import restore_checkpoint  # noqa: E402
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="multi-checkpoint comparison eval")
+    p.add_argument("--gpu", type=str, default="0")  # compat, unused
+    p.add_argument("--isize", type=int, default=128)
+    p.add_argument("--nfr", type=int, default=16)
+    p.add_argument("--batchsize", type=int, default=4)
+    p.add_argument("--metric", type=str, default="roc", choices=["roc", "pr"])
+    p.add_argument("--test_data_path", type=str, required=True)
+    p.add_argument("--test_model_list_path", type=str, required=True)
+    p.add_argument("--result_path", type=str, default="results/test")
+    return p
+
+
+def load_model(ckpt_path: str, args):
+    """Substring dispatch + checkpoint restore (test.py:115-144)."""
+    if "ganbase" in ckpt_path or "mygan" in ckpt_path:
+        from vfd_gan_tpu.models.mygan import Generator
+        model, name = Generator(), "Propose model[GAN]"
+    elif "c2plus1d" in ckpt_path:
+        from vfd_gan_tpu.models.stcnn import AutoEncoder
+        model, name = AutoEncoder(), "(2+1)DCNN"
+    elif "xception" in ckpt_path:
+        from vfd_gan_tpu.models.xception3d import Xception3D
+        model, name = Xception3D(), "XceptionNet"
+    elif "clstm" in ckpt_path:
+        from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+        model, name = ConvLSTMModel(), "ConvLSTM"
+    else:
+        raise SystemExit(f"cannot infer model type from path: {ckpt_path}")
+
+    tree = restore_checkpoint(ckpt_path)
+    # engines save either {"netG": state, ...} (GANs) or {"state": ...}
+    net = tree.get("netG", tree.get("state"))
+    variables = {"params": net["params"], "batch_stats": net["batch_stats"]}
+    return model, variables, name
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.result_path, exist_ok=True)
+
+    ds = MdfVideoDataset(args.test_data_path, args.nfr, staging=args.isize)
+    loader = ClipBatchIterator(ds, args.batchsize, shuffle=False)
+    model_list = [ln.rstrip() for ln in open(args.test_model_list_path)
+                  if ln.strip()]
+
+    fig = plt.figure()
+    results = {}
+    for ckpt in model_list:
+        print(f"\n {ckpt}")
+        model, variables, name = load_model(ckpt, args)
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x, False))
+
+        gts, predicts = [], []
+        for batch in loader:
+            data, _, gt = normalize_clips(jnp.asarray(batch["data"]),
+                                          jnp.asarray(batch["real"]),
+                                          jnp.asarray(batch["mask"]))
+            pred = apply_fn(variables, data)
+            gts.append(np.asarray(gt))
+            predicts.append(np.asarray(pred))      # raw sigmoid scores
+
+        labels = np.asarray(np.stack(gts), dtype=np.int32).ravel()
+        scores = np.asarray(np.stack(predicts)).ravel()
+
+        if args.metric == "roc":
+            area, eer, fpr, tpr = roc_auc_with_eer(labels, scores)
+            plt.plot(fpr, tpr, lw=2,
+                     label="%s: (AUC = %0.2f, EER = %0.2f)" % (name, area, eer))
+            plt.plot([eer], [1 - eer], marker="o", markersize=5, color="navy")
+        else:
+            area, precision, recall = pr_auc(labels, scores)
+            plt.plot(recall, precision, lw=2,
+                     label="%s: (AUC = %0.2f)" % (name, area))
+        f1 = evaluate(labels, scores, metric="f1_score")
+        results[name] = (area, f1)
+        print("%s / %s == %f" % (ckpt, args.metric, area))
+        print("%s / f1 == %f" % (ckpt, f1))
+
+    plt.plot([0, 1], [1, 0], color="navy", lw=1, linestyle=":")
+    plt.xlim([0.0, 1.0])
+    plt.ylim([0.0, 1.05])
+    if args.metric == "roc":
+        plt.xlabel("False Positive Rate")
+        plt.ylabel("True Positive Rate")
+        plt.title("Receiver operating characteristic")
+    else:
+        plt.xlabel("Recall")
+        plt.ylabel("Precision")
+        plt.title("Precision-Recall Curve")
+    plt.legend(loc="lower right")
+    out = os.path.join(args.result_path, f"{args.metric}_curve.png")
+    plt.savefig(out)
+    plt.close(fig)
+    print(f"saved {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
