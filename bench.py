@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: MyGAN fused train step at the reference's default workload.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+Workload (reference defaults, lib/args.py:20-24): batch 4 x 3ch x 16 frames
+x 128x128, MyGAN G (5-level (2+1)D U-Net, ngf=32) + dual discriminator
+(ndf=32), one full fused step per iteration: on-device augmentation, G
+forward, optical flow of gt+predicted mask videos, two D passes, G and D
+gradients + Adam updates.  This includes everything the reference does per
+step — in particular the 2 x B x (T-1) Farneback flows it runs on the CPU.
+
+``vs_baseline`` compares clips/sec against the PyTorch-reference equivalent
+step measured on this host's CPU (tools/measure_cpu_baseline.py, cached in
+BASELINE_CPU.json).  If the cache is missing, vs_baseline is reported as 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+STEPS = 10
+BATCH = 4
+NFR = 16
+ISIZE = 128
+
+
+def main() -> None:
+    import jax
+
+    from vfd_gan_tpu.config import Config
+    from vfd_gan_tpu.ops.augment import staging_size
+    from vfd_gan_tpu.parallel.mesh import shard_batch
+    from vfd_gan_tpu.train.gan_engine import MyGanEngine
+
+    n_chips = len(jax.devices())
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    cfg = Config(model="mygan", isize=ISIZE, nfr=NFR, batchsize=BATCH,
+                 ngf=32, ndf=32, ep=1, freq=10 ** 9,
+                 compute_dtype="bfloat16", tensorboard=False,
+                 result_root=tmp).validate()
+    engine = MyGanEngine(cfg, train_iter=None, test_iter=None)
+
+    rng = np.random.default_rng(0)
+    s = staging_size(ISIZE)
+    batch = {
+        "data": rng.integers(0, 255, (BATCH, NFR, s, s, 3), dtype=np.uint8),
+        "real": rng.integers(0, 255, (BATCH, NFR, s, s, 3), dtype=np.uint8),
+        "mask": (rng.integers(0, 2, (BATCH, NFR, s, s, 1), dtype=np.uint8)
+                 * np.uint8(255)),
+        "label": np.ones((BATCH, NFR), np.float32),
+    }
+    sharded = shard_batch(engine.mesh, batch)
+
+    key = jax.random.key(0)
+    g, d = engine.g_state, engine.d_state
+    # warmup / compile
+    g, d, metrics, _ = engine._train_step(g, d, sharded, key)
+    jax.block_until_ready(metrics["d/err_d/train"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        g, d, metrics, _ = engine._train_step(g, d, sharded, sub)
+    jax.block_until_ready(metrics["d/err_d/train"])
+    elapsed = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * STEPS / elapsed
+    per_chip = clips_per_sec / max(1, n_chips)
+
+    vs_baseline = 0.0
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+    if os.path.exists(base_file):
+        with open(base_file) as f:
+            base = json.load(f)
+        base_cps = base.get("clips_per_sec", 0.0)
+        if base_cps > 0:
+            vs_baseline = clips_per_sec / base_cps
+
+    print(json.dumps({
+        "metric": "mygan_train_step_clips_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+    engine.close()
+
+
+if __name__ == "__main__":
+    main()

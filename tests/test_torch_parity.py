@@ -1,0 +1,158 @@
+"""Golden parity: identical weights -> matching activations vs the reference.
+
+Loads the *actual reference modules* (read-only, from /root/reference) on
+torch CPU, maps their state_dicts into our models via
+``vfd_gan_tpu.utils.torch_compat``, and compares eval-mode forward passes on
+the same inputs.  Skips cleanly when the reference tree is unavailable.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    import os
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not available")
+    # the reference's videotransforms imports skimage, which this image
+    # lacks; stub just enough for import
+    if "skimage" not in sys.modules:
+        skimage = types.ModuleType("skimage")
+        skimage.transform = types.ModuleType("skimage.transform")
+        skimage.transform.rotate = lambda img, angle: img
+        skimage.transform.resize = lambda img, size, **k: img
+        sys.modules["skimage"] = skimage
+        sys.modules["skimage.transform"] = skimage.transform
+    # this image also lacks torchvision; stub the names the reference touches
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.functional = types.ModuleType(
+            "torchvision.transforms.functional")
+        tv.utils = types.ModuleType("torchvision.utils")
+        tv.utils.save_image = lambda *a, **k: None
+        tv.utils.make_grid = lambda *a, **k: None
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.transforms.functional"] = tv.transforms.functional
+        sys.modules["torchvision.utils"] = tv.utils
+    sys.path.insert(0, REF)
+    try:
+        import models.mygannet as ref_mygan
+        import models.mystcnn as ref_stcnn
+        import models.convlstm as ref_convlstm
+        yield types.SimpleNamespace(mygan=ref_mygan, stcnn=ref_stcnn,
+                                    convlstm=ref_convlstm)
+    finally:
+        sys.path.remove(REF)
+
+
+def _np_sd(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def _video(b, c, t, s, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, size=(b, c, t, s, s)).astype(np.float32)
+
+
+def test_generator_parity(ref_modules):
+    from vfd_gan_tpu.models.mygan import Generator
+    from vfd_gan_tpu.utils.torch_compat import mygan_generator_from_torch
+
+    torch.manual_seed(0)
+    ref = ref_modules.mygan.NetG().eval()
+    x = _video(1, 3, 16, 32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()          # (B, 1, T, H, W)
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, mygan_generator_from_torch(_np_sd(ref)))
+    ours = Generator(ngf=32)
+    got = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                     False)
+    got = np.asarray(got).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dualdisc_parity(ref_modules):
+    from vfd_gan_tpu.models.mygan import DualDisc
+    from vfd_gan_tpu.utils.torch_compat import mygan_dualdisc_from_torch
+
+    torch.manual_seed(1)
+    args = types.SimpleNamespace(nfr=16, isize=128)
+    ref = ref_modules.mygan.NetD(args).eval()
+    x = _video(1, 3, 16, 128, seed=1)
+    y = _video(1, 3, 16, 128, seed=2)
+    with torch.no_grad():
+        s_cls, s_feat, t_cls, t_feat = ref(torch.from_numpy(x),
+                                           torch.from_numpy(y))
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, mygan_dualdisc_from_torch(_np_sd(ref)))
+    ours = DualDisc(ndf=32)
+    g_s, g_sf, g_t, g_tf = ours.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 4, 1)), False)
+
+    np.testing.assert_allclose(np.asarray(g_s), s_cls.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_t), t_cls.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_sf).transpose(0, 4, 1, 2, 3),
+                               s_feat.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_tf).transpose(0, 4, 1, 2, 3),
+                               t_feat.numpy(), atol=2e-4)
+
+
+def test_autoencoder_parity(ref_modules):
+    from vfd_gan_tpu.models.stcnn import AutoEncoder
+    from vfd_gan_tpu.utils.torch_compat import stcnn_autoencoder_from_torch
+
+    torch.manual_seed(2)
+    ref = ref_modules.stcnn.AutoEncoder().eval()
+    x = _video(1, 3, 16, 16, seed=3)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, stcnn_autoencoder_from_torch(_np_sd(ref)))
+    got = AutoEncoder().apply(variables,
+                              jnp.asarray(x.transpose(0, 2, 3, 4, 1)), False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
+                               want, atol=2e-4)
+
+
+def test_convlstm_parity(ref_modules):
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+    from vfd_gan_tpu.utils.torch_compat import convlstm_from_torch
+
+    # reference cells hardcode .cuda() hidden-state init
+    # (convlstm.py:60-62); patch for CPU
+    ref_mod = ref_modules.convlstm
+    ref_mod.ConvLSTMCell.init_hidden = lambda self, b: (
+        torch.zeros(b, self.hidden_dim, self.height, self.width),
+        torch.zeros(b, self.hidden_dim, self.height, self.width))
+
+    torch.manual_seed(3)
+    args = types.SimpleNamespace(isize=16)
+    ref = ref_mod.ConvLSTMModel(args).eval()
+    x = _video(1, 3, 5, 16, seed=4)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convlstm_from_torch(_np_sd(ref)))
+    got = ConvLSTMModel().apply(variables,
+                                jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                                False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
+                               want, atol=2e-4)

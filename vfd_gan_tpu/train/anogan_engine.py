@@ -53,16 +53,20 @@ class AnoGanEngine(EngineBase):
         self.tx_d = make_adam(cfg.lr, 0.5)
 
         key = jax.random.key(cfg.seed)
-        self.key, kg, kd, kdrop = jax.random.split(key, 4)
-        z = jnp.zeros((cfg.batchsize, Z_DIM), jnp.float32)
-        video = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize, 3),
-                          jnp.float32)
-        g_vars = self.netg.init({"params": kg, "dropout": kdrop}, z, False)
-        d_vars = self.netd.init({"params": kd}, video, False)
-        self.g_state = NetState.create(g_vars, self.tx_g)
-        self.d_state = NetState.create(d_vars, self.tx_d)
-        self.g_state = jax.device_put(self.g_state, replicated(self.mesh))
-        self.d_state = jax.device_put(self.d_state, replicated(self.mesh))
+        self.key, init_key = jax.random.split(key)
+
+        def init_states(k):
+            kg, kd, kdrop = jax.random.split(k, 3)
+            z = jnp.zeros((cfg.batchsize, Z_DIM), jnp.float32)
+            video = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
+                               3), jnp.float32)
+            g_vars = self.netg.init({"params": kg, "dropout": kdrop}, z, False)
+            d_vars = self.netd.init({"params": kd}, video, False)
+            return (NetState.create(g_vars, self.tx_g),
+                    NetState.create(d_vars, self.tx_d))
+
+        self.g_state, self.d_state = jax.jit(
+            init_states, out_shardings=replicated(self.mesh))(init_key)
 
         if cfg.resume:
             restored = restore_checkpoint(cfg.resume, self._ckpt_tree())

@@ -62,17 +62,25 @@ class MyGanEngine(EngineBase):
         self.tx_d = make_adam(cfg.lr, cfg.beta1)
 
         key = jax.random.key(cfg.seed)
-        self.key, kg, kd, kdrop = jax.random.split(key, 4)
-        video = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
-                           cfg.ich), jnp.float32)
-        mask3 = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize, 3),
-                          jnp.float32)
-        g_vars = self.netg.init({"params": kg, "dropout": kdrop}, video, False)
-        d_vars = self.netd.init({"params": kd}, mask3, mask3, False)
-        self.g_state = NetState.create(g_vars, self.tx_g)
-        self.d_state = NetState.create(d_vars, self.tx_d)
-        self.g_state = jax.device_put(self.g_state, replicated(self.mesh))
-        self.d_state = jax.device_put(self.d_state, replicated(self.mesh))
+        self.key, init_key = jax.random.split(key)
+
+        # One jitted init: a single compiled program instead of hundreds of
+        # eagerly-dispatched ops (critical on remote/tunnelled devices).
+        def init_states(k):
+            kg, kd, kdrop = jax.random.split(k, 3)
+            video = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
+                               cfg.ich), jnp.float32)
+            mask3 = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
+                               3), jnp.float32)
+            g_vars = self.netg.init({"params": kg, "dropout": kdrop}, video,
+                                    False)
+            d_vars = self.netd.init({"params": kd}, mask3, mask3, False)
+            return (NetState.create(g_vars, self.tx_g),
+                    NetState.create(d_vars, self.tx_d))
+
+        repl = replicated(self.mesh)
+        self.g_state, self.d_state = jax.jit(
+            init_states, out_shardings=repl)(init_key)
 
         if cfg.resume:
             restored = restore_checkpoint(cfg.resume, self._ckpt_tree())

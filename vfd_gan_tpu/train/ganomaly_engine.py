@@ -55,15 +55,19 @@ class GanomalyEngine(EngineBase):
         self.tx_d = make_adam(cfg.lr, cfg.beta1)
 
         key = jax.random.key(cfg.seed)
-        self.key, kg, kd = jax.random.split(key, 3)
-        frames = jnp.zeros((cfg.batchsize * cfg.nfr, cfg.isize, cfg.isize,
-                            cfg.ich), jnp.float32)
-        self.g_state = NetState.create(self.netg.init({"params": kg}, frames,
-                                                      False), self.tx_g)
-        self.d_state = NetState.create(self.netd.init({"params": kd}, frames,
-                                                      False), self.tx_d)
-        self.g_state = jax.device_put(self.g_state, replicated(self.mesh))
-        self.d_state = jax.device_put(self.d_state, replicated(self.mesh))
+        self.key, init_key = jax.random.split(key)
+
+        def init_states(k):
+            kg, kd = jax.random.split(k)
+            frames = jnp.zeros((cfg.batchsize * cfg.nfr, cfg.isize,
+                                cfg.isize, cfg.ich), jnp.float32)
+            return (NetState.create(self.netg.init({"params": kg}, frames,
+                                                   False), self.tx_g),
+                    NetState.create(self.netd.init({"params": kd}, frames,
+                                                   False), self.tx_d))
+
+        self.g_state, self.d_state = jax.jit(
+            init_states, out_shardings=replicated(self.mesh))(init_key)
 
         if cfg.resume:
             restored = restore_checkpoint(cfg.resume, self._ckpt_tree())

@@ -39,13 +39,18 @@ class SupervisedEngine(EngineBase):
         self.tx = make_adam(cfg.lr, cfg.beta1)
 
         key = jax.random.key(cfg.seed)
-        self.key, init_key, dropout_key = jax.random.split(key, 3)
-        sample = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
-                            cfg.ich), jnp.float32)
-        variables = self.model.init({"params": init_key,
-                                     "dropout": dropout_key}, sample, False)
-        self.state = NetState.create(variables, self.tx)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.key, init_key = jax.random.split(key)
+
+        def init_state(k):
+            kp, kdrop = jax.random.split(k)
+            sample = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize,
+                                cfg.ich), jnp.float32)
+            variables = self.model.init({"params": kp, "dropout": kdrop},
+                                        sample, False)
+            return NetState.create(variables, self.tx)
+
+        self.state = jax.jit(init_state,
+                             out_shardings=replicated(self.mesh))(init_key)
 
         if cfg.resume:
             restored = restore_checkpoint(
