@@ -30,10 +30,10 @@ def test_poly_expansion_gradients():
     # should recover the slopes away from borders.
     h = w = 32
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = (3.0 * xx + 2.0 * yy)[None, :, :, None]
-    bx, by, *_ = poly_expansion(jnp.asarray(img))
-    np.testing.assert_allclose(np.asarray(bx)[0, 8:-8, 8:-8], 3.0, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(by)[0, 8:-8, 8:-8], 2.0, atol=1e-2)
+    img = (3.0 * xx + 2.0 * yy)[None]
+    coeffs = np.asarray(poly_expansion(jnp.asarray(img)))
+    np.testing.assert_allclose(coeffs[0, 8:-8, 8:-8, 0], 3.0, atol=1e-2)
+    np.testing.assert_allclose(coeffs[0, 8:-8, 8:-8, 1], 2.0, atol=1e-2)
 
 
 @pytest.mark.parametrize("shift", [(3, 0), (0, -2), (2, 2)])

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from vfd_gan_tpu.data import native
 from vfd_gan_tpu.data.video_io import count_frames, read_clip
 
 
@@ -70,14 +71,10 @@ class MdfVideoDataset:
         self.real_paths = [t[1] for t in triples]
         self.mask_paths = [t[2] for t in triples]
 
-        windows_per_video = [count_frames(p) // nfr for p in self.mask_paths]
-        cum = np.cumsum(windows_per_video).tolist()
-        self._records: list[ClipRecord] = []
-        for index in range(cum[-1] if cum else 0):
-            video_idx = next(i for i, c in enumerate(cum) if c >= index)
-            prev = cum[video_idx - 1] if video_idx > 0 else 0
-            start = (index - prev - 1) * nfr
-            self._records.append(ClipRecord(video_idx, max(0, start)))
+        frames_per_video = [count_frames(p) for p in self.mask_paths]
+        video_idx, first_frame = native.window_table(frames_per_video, nfr)
+        self._records = [ClipRecord(int(v), int(f))
+                         for v, f in zip(video_idx, first_frame)]
 
     def __len__(self) -> int:
         return len(self._records)
@@ -130,9 +127,9 @@ class ClipBatchIterator:
     def _assemble(self, indices) -> dict[str, np.ndarray]:
         items = [self.dataset[i] for i in indices]
         return {
-            "data": np.stack([it[0] for it in items]),
-            "real": np.stack([it[1] for it in items]),
-            "mask": np.stack([it[2] for it in items]),
+            "data": native.pack_clips([it[0] for it in items]),
+            "real": native.pack_clips([it[1] for it in items]),
+            "mask": native.pack_clips([it[2] for it in items]),
             "label": np.stack([it[3] for it in items]),
         }
 

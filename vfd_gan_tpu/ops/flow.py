@@ -62,102 +62,139 @@ def _poly_kernels(n: int, sigma: float):
             k2.astype(np.float32), ginv.astype(np.float32))
 
 
-def _corr1d(img, kernel, axis):
-    """Depthwise 1-D correlation along H or W with edge replication."""
-    k = kernel.shape[0]
+@lru_cache(maxsize=None)
+def _corr_matrix(n: int, taps: tuple, mode: str = "edge") -> np.ndarray:
+    """Dense ``(n, n)`` banded correlation matrix for a 1-D kernel with
+    replicate ("edge") boundary handling:
+    ``out[i] = sum_d taps[d] * in[clamp(i + d - r)]``.
+
+    Correlations as matmuls keep the MXU busy; a channels=1 convolution
+    would use 1/128 of the TPU's lanes (the reference-shaped images have no
+    channel axis to vectorise over).
+    """
+    k = len(taps)
     r = k // 2
-    pad = [(0, 0)] * img.ndim
-    pad[axis] = (r, r)
-    img = jnp.pad(img, pad, mode="edge")
-    kern = kernel.reshape((k, 1, 1, 1) if axis == 1 else (1, k, 1, 1))
-    return jax.lax.conv_general_dilated(
-        img, kern.astype(img.dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    m = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for d, t in enumerate(taps):
+            j = i + d - r
+            j = min(max(j, 0), n - 1) if mode == "edge" else j
+            if 0 <= j < n:
+                m[i, j] += t
+    return m
+
+
+def _corr_w(x: jnp.ndarray, taps) -> jnp.ndarray:
+    """1-D correlation along the last (W) axis of ``(..., H, W)``."""
+    m = jnp.asarray(_corr_matrix(x.shape[-1], tuple(np.asarray(taps).tolist())))
+    return jnp.einsum("...j,ij->...i", x, m.astype(x.dtype))
+
+
+def _corr_h(x: jnp.ndarray, taps) -> jnp.ndarray:
+    """1-D correlation along the second-to-last (H) axis of ``(..., H, W)``."""
+    m = jnp.asarray(_corr_matrix(x.shape[-2], tuple(np.asarray(taps).tolist())))
+    return jnp.einsum("...hw,ih->...iw", x, m.astype(x.dtype))
+
+
+def _sep_corr(x: jnp.ndarray, taps_w, taps_h) -> jnp.ndarray:
+    return _corr_h(_corr_w(x, taps_w), taps_h)
 
 
 def poly_expansion(img, n: int = 5, sigma: float = 1.2):
-    """Quadratic polynomial expansion of ``(N, H, W, 1)`` images.
+    """Quadratic polynomial expansion of ``(N, H, W)`` images.
 
-    Returns (bx, by, axx, ayy, axy) maps for the local model
-    f(dx) ~ dx^T A dx + b^T dx + c with A = [[axx, axy/2], [axy/2, ayy]].
+    Returns ``(N, H, W, 5)`` stacked (bx, by, axx, ayy, axy) maps for the
+    local model f(dx) ~ dx^T A dx + b^T dx + c with
+    A = [[axx, axy/2], [axy/2, ayy]].
+
+    Accepts a trailing singleton channel for backward compatibility.
     """
+    if img.ndim == 4 and img.shape[-1] == 1:
+        img = img[..., 0]
     k0, k1, k2, ginv = _poly_kernels(n, sigma)
-    k0, k1, k2 = (jnp.asarray(k) for k in (k0, k1, k2))
 
-    # Separable moment correlations: row kernel (x-axis=W) x col kernel (H).
-    c00 = _corr1d(_corr1d(img, k0, 2), k0, 1)   # w
-    c10 = _corr1d(_corr1d(img, k1, 2), k0, 1)   # w*x
-    c01 = _corr1d(_corr1d(img, k0, 2), k1, 1)   # w*y
-    c20 = _corr1d(_corr1d(img, k2, 2), k0, 1)   # w*x^2
-    c02 = _corr1d(_corr1d(img, k0, 2), k2, 1)   # w*y^2
-    c11 = _corr1d(_corr1d(img, k1, 2), k1, 1)   # w*x*y
-
-    c = jnp.stack([c00, c10, c01, c20, c02, c11], axis=-1)  # (N,H,W,1,6)
-    coeff = jnp.einsum("...i,ji->...j", c, jnp.asarray(ginv))
-    bx, by = coeff[..., 0, 1], coeff[..., 0, 2]
-    axx, ayy, axy = coeff[..., 0, 3], coeff[..., 0, 4], coeff[..., 0, 5]
-    return bx, by, axx, ayy, axy
+    # Separable moment correlations: W-axis kernel x H-axis kernel, each a
+    # dense banded matmul.
+    x0 = _corr_w(img, k0)
+    x1 = _corr_w(img, k1)
+    x2 = _corr_w(img, k2)
+    c = jnp.stack([
+        _corr_h(x0, k0),   # w
+        _corr_h(x1, k0),   # w*x
+        _corr_h(x0, k1),   # w*y
+        _corr_h(x2, k0),   # w*x^2
+        _corr_h(x0, k2),   # w*y^2
+        _corr_h(x1, k1),   # w*x*y
+    ], axis=-1)                                   # (N, H, W, 6)
+    coeff = jnp.einsum("...i,ji->...j", c, jnp.asarray(ginv).astype(c.dtype))
+    return coeff[..., 1:6]                        # drop the constant term
 
 
 # --------------------------------------------------------------------------
 # Flow estimation
 # --------------------------------------------------------------------------
 
-def _bilinear_warp(field, flow_x, flow_y):
-    """Sample ``field`` (N, H, W) at (x + flow_x, y + flow_y), clamped."""
-    n, h, w = field.shape
+def _bilinear_warp(fields, flow_x, flow_y):
+    """Sample ``fields`` (N, H, W, C) at (x + flow_x, y + flow_y), clamped.
+    One fused gather covers all C channels (the 5 poly-coefficient maps)."""
+    n, h, w, c = fields.shape
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
     y0 = jnp.floor(ys); x0 = jnp.floor(xs)
-    wy = ys - y0; wx = xs - x0
+    wy = (ys - y0)[..., None]; wx = (xs - x0)[..., None]
     y0 = y0.astype(jnp.int32); x0 = x0.astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, h - 1); x1 = jnp.minimum(x0 + 1, w - 1)
 
-    flat = field.reshape(n, h * w)
+    flat = fields.reshape(n, h * w, c)
     bidx = jnp.arange(n)[:, None, None]
 
     def at(yy, xx):
-        return flat[bidx, yy * w + xx]
+        return flat[bidx, yy * w + xx]          # (N, H, W, C)
 
     top = at(y0, x0) * (1 - wx) + at(y0, x1) * wx
     bot = at(y1, x0) * (1 - wx) + at(y1, x1) * wx
     return top * (1 - wy) + bot * wy
 
 
-def _box_blur(img, k):
-    """(N, H, W) box filter with edge padding (cv2 flags=0 aggregation)."""
-    kern = jnp.full((k,), 1.0 / k, img.dtype)
-    x = _corr1d(_corr1d(img[..., None], kern, 2), kern, 1)
-    return x[..., 0]
+def _box_blur_stack(stack, k):
+    """(N, H, W, C) box filter over H, W via banded matmuls."""
+    taps = np.full((k,), 1.0 / k, np.float32)
+    moved = jnp.moveaxis(stack, -1, 1)          # (N, C, H, W)
+    out = _sep_corr(moved, taps, taps)
+    return jnp.moveaxis(out, 1, -1)
 
 
 def _flow_level(p1, p2, flow, winsize: int, iterations: int):
     """Iterative displacement refinement at one pyramid level.
 
-    p1/p2: poly expansions (bx, by, axx, ayy, axy) of both frames;
-    flow: (N, H, W, 2) initial displacement (x, y order, like cv2).
+    p1/p2: stacked poly expansions ``(N, H, W, 5)`` = (bx, by, axx, ayy,
+    axy); flow: (N, H, W, 2) displacement in (x, y) order like cv2.
     """
-    b1x, b1y, a1xx, a1yy, a1xy = p1
-    b2x, b2y, a2xx, a2yy, a2xy = p2
+    b1x, b1y = p1[..., 0], p1[..., 1]
+    a1xx, a1yy, a1xy = p1[..., 2], p1[..., 3], p1[..., 4]
 
     def body(i, flow):
         fx, fy = flow[..., 0], flow[..., 1]
-        w2 = partial(_bilinear_warp, flow_x=fx, flow_y=fy)
+        w2 = _bilinear_warp(p2, fx, fy)
         # average the quadratic term, difference of linear terms
-        axx = (a1xx + w2(a2xx)) * 0.5
-        ayy = (a1yy + w2(a2yy)) * 0.5
-        axy = ((a1xy + w2(a2xy)) * 0.5) * 0.5     # off-diagonal of A
-        dbx = -0.5 * (w2(b2x) - b1x) + axx * fx + axy * fy
-        dby = -0.5 * (w2(b2y) - b1y) + axy * fx + ayy * fy
+        axx = (a1xx + w2[..., 2]) * 0.5
+        ayy = (a1yy + w2[..., 3]) * 0.5
+        axy = ((a1xy + w2[..., 4]) * 0.5) * 0.5   # off-diagonal of A
+        dbx = -0.5 * (w2[..., 0] - b1x) + axx * fx + axy * fy
+        dby = -0.5 * (w2[..., 1] - b1y) + axy * fx + ayy * fy
 
         # accumulate normal equations over the window: G = A^T A, h = A^T db
-        g11 = _box_blur(axx * axx + axy * axy, winsize)
-        g12 = _box_blur(axy * (axx + ayy), winsize)
-        g22 = _box_blur(ayy * ayy + axy * axy, winsize)
-        h1 = _box_blur(axx * dbx + axy * dby, winsize)
-        h2 = _box_blur(axy * dbx + ayy * dby, winsize)
+        quants = jnp.stack([
+            axx * axx + axy * axy,
+            axy * (axx + ayy),
+            ayy * ayy + axy * axy,
+            axx * dbx + axy * dby,
+            axy * dbx + ayy * dby,
+        ], axis=-1)
+        g11, g12, g22, h1, h2 = jnp.moveaxis(
+            _box_blur_stack(quants, winsize), -1, 0)
 
         det = g11 * g22 - g12 * g12
         det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
@@ -172,9 +209,8 @@ def _gauss_blur(img, sigma: float):
     r = max(1, int(3 * sigma + 0.5))
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    k = jnp.asarray((k / k.sum()).astype(np.float32))
-    out = _corr1d(_corr1d(img[..., None], k, 2), k, 1)
-    return out[..., 0]
+    taps = (k / k.sum()).astype(np.float32)
+    return _sep_corr(img, taps, taps)
 
 
 def farneback_flow(prev, cur, *, pyr_scale: float = 0.5, levels: int = 3,
@@ -202,8 +238,10 @@ def farneback_flow(prev, cur, *, pyr_scale: float = 0.5, levels: int = 3,
         if li != levels - 1:
             nh, nw = p.shape[-2:]
             flow = resize_bilinear(flow, (nh, nw)) / pyr_scale
-        p1 = poly_expansion(p[..., None], poly_n, poly_sigma)
-        p2 = poly_expansion(c[..., None], poly_n, poly_sigma)
+        # expand both frames in one batched call
+        both = poly_expansion(jnp.concatenate([p, c], axis=0), poly_n,
+                              poly_sigma)
+        p1, p2 = jnp.split(both, 2, axis=0)
         flow = _flow_level(p1, p2, flow, winsize, iterations)
     return flow
 

@@ -145,8 +145,9 @@ class MyGanEngine(EngineBase):
         pred_sg = jax.lax.stop_gradient(pred)
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred_sg)
-        gt_flow = video_to_flow_rgb(gt_3ch)
-        pre_flow = video_to_flow_rgb(pre_3ch)
+        # one batched flow computation for both videos
+        flows = video_to_flow_rgb(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
+        gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         # ---- D update ----
         def d_loss_fn(d_params):
@@ -218,8 +219,8 @@ class MyGanEngine(EngineBase):
 
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred)
-        gt_flow = video_to_flow_rgb(gt_3ch)
-        pre_flow = video_to_flow_rgb(pre_3ch)
+        flows = video_to_flow_rgb(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
+        gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         real_out, fake_out, _ = self._disc_losses(
             d_state.params, d_state.batch_stats, gt_3ch, gt_flow, pre_3ch,
