@@ -51,8 +51,10 @@ def ref_modules():
         import models.mygannet as ref_mygan
         import models.mystcnn as ref_stcnn
         import models.convlstm as ref_convlstm
+        import models.xception as ref_xception
         yield types.SimpleNamespace(mygan=ref_mygan, stcnn=ref_stcnn,
-                                    convlstm=ref_convlstm)
+                                    convlstm=ref_convlstm,
+                                    xception=ref_xception)
     finally:
         sys.path.remove(REF)
 
@@ -127,6 +129,24 @@ def test_autoencoder_parity(ref_modules):
         jnp.asarray, stcnn_autoencoder_from_torch(_np_sd(ref)))
     got = AutoEncoder().apply(variables,
                               jnp.asarray(x.transpose(0, 2, 3, 4, 1)), False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
+                               want, atol=2e-4)
+
+
+def test_xception_parity(ref_modules):
+    from vfd_gan_tpu.models.xception3d import Xception3D
+    from vfd_gan_tpu.utils.torch_compat import xception_from_torch
+
+    torch.manual_seed(4)
+    ref = ref_modules.xception.Xception().eval()
+    x = _video(1, 3, 2, 32, seed=5)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, xception_from_torch(_np_sd(ref)))
+    got = Xception3D().apply(variables,
+                             jnp.asarray(x.transpose(0, 2, 3, 4, 1)), False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
                                want, atol=2e-4)
 

@@ -46,6 +46,8 @@ def build_engine(cfg: Config, train_iter, test_iter):
 
 
 def main(argv=None) -> None:
+    from vfd_gan_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     cfg = parse_args(argv)
     if not cfg.tr_plist or not cfg.ts_plist:
         print("error: --tr_plist and --ts_plist are required "

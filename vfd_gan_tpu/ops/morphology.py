@@ -39,13 +39,30 @@ def dilate(x: jnp.ndarray, k: int = 5, spatial_axes: tuple[int, int] = (-3, -2))
     return lax.reduce_window(x, -jnp.inf, lax.max, dims, (1,) * x.ndim, pad)
 
 
+def _tpu_backend() -> bool:
+    backend = jax.default_backend()
+    return backend in ("tpu", "axon")
+
+
 def morphology_open(video: jnp.ndarray, k: int = 5,
-                    spatial_axes: tuple[int, int] = (-3, -2)) -> jnp.ndarray:
+                    spatial_axes: tuple[int, int] = (-3, -2),
+                    use_pallas: bool | None = None) -> jnp.ndarray:
     """Opening (erode then dilate) per frame.
 
     ``video`` is channel-last ``(B, T, H, W, C)`` by default (H, W at axes
-    -3, -2); works on any layout via ``spatial_axes``.
+    -3, -2); works on any layout via ``spatial_axes``.  On TPU backends the
+    default path is the fused Pallas kernel
+    (:mod:`vfd_gan_tpu.ops.pallas.morphology`); elsewhere (and under
+    ``use_pallas=False``) it is a pair of ``reduce_window`` passes.
     """
+    if use_pallas is None:
+        use_pallas = _tpu_backend()
+    axes = tuple(ax % video.ndim for ax in spatial_axes)
+    if use_pallas and axes == (video.ndim - 3, video.ndim - 2):
+        from vfd_gan_tpu.ops.pallas.morphology import morphology_open_pallas
+        moved = jnp.moveaxis(video, -1, 0)     # channel to front: (..., H, W)
+        out = morphology_open_pallas(moved, k=k)
+        return jnp.moveaxis(out, 0, -1)
     dtype = video.dtype
     x = video.astype(jnp.float32)
     return dilate(erode(x, k, spatial_axes), k, spatial_axes).astype(dtype)

@@ -183,11 +183,76 @@ def convlstm_from_torch(state_dict: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _sepa(sd, prefix):
+    """Reference SepaConv (xception.py:7-21) -> our SepaConv params."""
+    return {"space_kernel": conv3d_spatial(sd[f"{prefix}.conv1.weight"]),
+            "point_kernel": conv3d_spatial(sd[f"{prefix}.pointwise.weight"])}
+
+
+def xception_from_torch(state_dict: dict) -> dict:
+    """Reference Xception (models/xception.py:92-174) -> our Xception3D.
+
+    Sequential ``rep`` indices depend on the block flavour: entry blocks
+    (reps=2, start_with_relu=False) hold SepaConvs at rep.{0,3} and BNs at
+    rep.{1,4}; middle blocks (reps=3, start_with_relu=True) at rep.{1,4,7} /
+    rep.{2,5,8}; the exit block (reps=2, start_with_relu=True) at rep.{1,4}
+    / rep.{2,5} (xception.py:34-60).
+    """
+    sd = strip_module_prefix(state_dict)
+    params, stats = {}, {}
+
+    params["stem1_kernel"] = conv3d_spatial(sd["conv1.weight"])
+    params["stem2_kernel"] = conv3d_spatial(sd["conv2.weight"])
+    for ours, ref in (("stem1_bn", "bn1"), ("stem2_bn", "bn2")):
+        p, s = bn(sd, ref)
+        params[ours] = {"BatchNorm_0": p}
+        stats[ours] = {"BatchNorm_0": s}
+
+    def block(ours, ref, sepa_idx, bn_idx, has_skip):
+        bp, bs = {}, {}
+        for j, (si, bi) in enumerate(zip(sepa_idx, bn_idx), start=1):
+            bp[f"sepa{j}"] = _sepa(sd, f"{ref}.rep.{si}")
+            p, s = bn(sd, f"{ref}.rep.{bi}")
+            bp[f"bn{j}"] = {"BatchNorm_0": p}
+            bs[f"bn{j}"] = {"BatchNorm_0": s}
+        if has_skip:
+            bp["skip_kernel"] = conv3d_spatial(sd[f"{ref}.skip.weight"])
+            p, s = bn(sd, f"{ref}.skipbn")
+            bp["skip_bn"] = {"BatchNorm_0": p}
+            bs["skip_bn"] = {"BatchNorm_0": s}
+        params[ours], stats[ours] = bp, bs
+
+    for i in (1, 2, 3):
+        block(f"entry{i}", f"block{i}", (0, 3), (1, 4), True)
+    for i in range(8):
+        block(f"middle{i + 1}", f"block{i + 4}", (1, 4, 7), (2, 5, 8), False)
+    block("exit", "block12", (1, 4), (2, 5), True)
+
+    params["head1"] = _sepa(sd, "conv3")
+    params["head2"] = _sepa(sd, "conv4")
+    for ours, ref in (("head1_bn", "bn3"), ("head2_bn", "bn4")):
+        p, s = bn(sd, ref)
+        params[ours] = {"BatchNorm_0": p}
+        stats[ours] = {"BatchNorm_0": s}
+
+    for i in (1, 2, 3, 4):
+        bp = {"kernel": conv3d_spatial(sd[f"uconv{i}.conv.weight"])}
+        p, s = bn(sd, f"uconv{i}.bn")
+        bp["bn"] = {"BatchNorm_0": p}
+        params[f"deconv{i}"] = bp
+        stats[f"deconv{i}"] = {"bn": {"BatchNorm_0": s}}
+
+    params["head_kernel"] = conv3d_spatial(sd["conv_last.weight"])
+    params["head_bias"] = _np(sd["conv_last.bias"])
+    return {"params": params, "batch_stats": stats}
+
+
 CONVERTERS = {
     "mygan_generator": mygan_generator_from_torch,
     "mygan_dualdisc": mygan_dualdisc_from_torch,
     "c2plus1d": stcnn_autoencoder_from_torch,
     "clstm": convlstm_from_torch,
+    "xception": xception_from_torch,
 }
 
 
