@@ -52,9 +52,11 @@ def ref_modules():
         import models.mystcnn as ref_stcnn
         import models.convlstm as ref_convlstm
         import models.xception as ref_xception
+        import models.anogan as ref_anogan
         yield types.SimpleNamespace(mygan=ref_mygan, stcnn=ref_stcnn,
                                     convlstm=ref_convlstm,
-                                    xception=ref_xception)
+                                    xception=ref_xception,
+                                    anogan=ref_anogan)
     finally:
         sys.path.remove(REF)
 
@@ -149,6 +151,43 @@ def test_xception_parity(ref_modules):
                              jnp.asarray(x.transpose(0, 2, 3, 4, 1)), False)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
                                want, atol=2e-4)
+
+
+def test_anogan_parity(ref_modules):
+    from vfd_gan_tpu.models.anogan import AnoDiscriminator, AnoGenerator
+    from vfd_gan_tpu.utils.torch_compat import (
+        anogan_discriminator_from_torch,
+        anogan_generator_from_torch,
+    )
+
+    torch.manual_seed(5)
+    # the reference hardcodes isize=128 / nfr=16 shapes (anogan.py:45,76,108)
+    ref_g = ref_modules.anogan.NetG().eval()
+    z = np.random.default_rng(6).normal(size=(1, 100)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_g(torch.from_numpy(z)).numpy()
+
+    g_vars = jax.tree_util.tree_map(
+        jnp.asarray, anogan_generator_from_torch(_np_sd(ref_g)))
+    got = AnoGenerator(nfr=16, isize=128).apply(g_vars, jnp.asarray(z), False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
+                               want, atol=5e-4)
+
+    ref_d = ref_modules.anogan.NetD().eval()
+    x = _video(1, 3, 16, 128, seed=7)
+    with torch.no_grad():
+        want_s, want_f = ref_d(torch.from_numpy(x))
+
+    d_vars = jax.tree_util.tree_map(
+        jnp.asarray, anogan_discriminator_from_torch(_np_sd(ref_d)))
+    got_s, got_f = AnoDiscriminator().apply(
+        d_vars, jnp.asarray(x.transpose(0, 2, 3, 4, 1)), False)
+    np.testing.assert_allclose(np.asarray(got_s), want_s.numpy().ravel(),
+                               atol=5e-4)
+    # feature flatten order differs (channels-last); compare via re-layout
+    f_ours = np.asarray(got_f).reshape(1, 2, 16, 16, 256)
+    f_ref = want_f.numpy().reshape(1, 256, 2, 16, 16).transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(f_ours, f_ref, atol=5e-4)
 
 
 def test_convlstm_parity(ref_modules):

@@ -91,6 +91,13 @@ class MyGanEngine(EngineBase):
             self.global_step = int(restored["step"])
             print(f"\n Loaded pretrained G/D weights from {cfg.resume}\n")
 
+        # parity-audit escape hatch: genuine cv2 flow on host (SURVEY.md §7)
+        if cfg.host_flow:
+            from vfd_gan_tpu.train.host_flow import video_to_flow_rgb_callback
+            self._flow = video_to_flow_rgb_callback
+        else:
+            self._flow = video_to_flow_rgb
+
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -146,7 +153,7 @@ class MyGanEngine(EngineBase):
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred_sg)
         # one batched flow computation for both videos
-        flows = video_to_flow_rgb(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
+        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
         gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         # ---- D update ----
@@ -219,7 +226,7 @@ class MyGanEngine(EngineBase):
 
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred)
-        flows = video_to_flow_rgb(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
+        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
         gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         real_out, fake_out, _ = self._disc_losses(
@@ -311,6 +318,23 @@ class MyGanEngine(EngineBase):
         if n:
             self.errors.update({k: v / n for k, v in sums.items()})
         return roc, pr, f1
+
+    # ------------------------------------------------------------------
+    def reinit_d(self) -> None:
+        """Re-randomise the discriminator (reference reinit_d,
+        models/mygannet.py:346-348 — a collapse-recovery hook)."""
+        self.key, kd = jax.random.split(self.key)
+        cfg = self.cfg
+        mask3 = jnp.zeros((cfg.batchsize, cfg.nfr, cfg.isize, cfg.isize, 3),
+                          jnp.float32)
+
+        def init_d(k):
+            d_vars = self.netd.init({"params": k}, mask3, mask3, False)
+            return NetState.create(d_vars, self.tx_d)
+
+        self.d_state = jax.jit(init_d,
+                               out_shardings=replicated(self.mesh))(kd)
+        print("Reloading Net d")
 
     # ------------------------------------------------------------------
     def _ckpt_tree(self):

@@ -183,6 +183,80 @@ def convlstm_from_torch(state_dict: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def conv3d_transpose_w(w):
+    """torch ConvTranspose3d weight (Cin, Cout, kt, kh, kw) ->
+    (kt, kh, kw, Cin, Cout)."""
+    return _np(w).transpose(2, 3, 4, 0, 1)
+
+
+def anogan_generator_from_torch(state_dict: dict, nfr: int = 16,
+                                isize: int = 128) -> dict:
+    """Reference AnoGAN NetG (models/anogan.py:39-79) -> our AnoGenerator.
+
+    The seed Dense layer's output features are reordered from torch's
+    (C, T, H, W) reshape to our (T, H, W, C); the 1-D BatchNorm params and
+    stats get the same permutation.
+    """
+    sd = strip_module_prefix(state_dict)
+    t0, s0 = nfr // 8, isize // 8
+    perm = np.arange(512 * t0 * s0 * s0).reshape(512, t0, s0, s0) \
+        .transpose(1, 2, 3, 0).ravel()
+
+    params, stats = {}, {}
+    w = _np(sd["layer1.0.weight"])            # (O, 100)
+    params["fc"] = {"Dense_0": {"kernel": w.T[:, perm],
+                                "bias": _np(sd["layer1.0.bias"])[perm]}}
+    params["fc_bn"] = {"scale": _np(sd["layer1.1.weight"])[perm],
+                       "bias": _np(sd["layer1.1.bias"])[perm]}
+    stats["fc_bn"] = {"mean": _np(sd["layer1.1.running_mean"])[perm],
+                      "var": _np(sd["layer1.1.running_var"])[perm]}
+
+    # stage -> (transpose-conv key, conv key, bn key or None)
+    layout = {
+        "up1": ("layer2.1", "layer2.2", "layer2.3"),
+        "up2": ("layer2.6", "layer2.7", "layer2.8"),
+        "up3": ("layer3.1", "layer3.2", "layer3.3"),
+        "up4": ("layer3.6", "layer3.7", None),
+    }
+    for i, (name, (tk, ck, bk)) in enumerate(layout.items(), start=1):
+        params[f"{name}_tkernel"] = conv3d_transpose_w(sd[f"{tk}.weight"])
+        params[f"{name}_tbias"] = _np(sd[f"{tk}.bias"])
+        params[f"{name}_ckernel"] = conv3d_full(sd[f"{ck}.weight"])
+        params[f"{name}_cbias"] = _np(sd[f"{ck}.bias"])
+        if bk is not None:
+            p, s = bn(sd, bk)
+            params[f"bn{i}"] = {"BatchNorm_0": p}
+            stats[f"bn{i}"] = {"BatchNorm_0": s}
+    return {"params": params, "batch_stats": stats}
+
+
+def anogan_discriminator_from_torch(state_dict: dict) -> dict:
+    """Reference AnoGAN NetD (models/anogan.py:81-119) -> our
+    AnoDiscriminator."""
+    sd = strip_module_prefix(state_dict)
+    params, stats = {}, {}
+    conv_map = {"conv1": "layer1.0", "conv2": "layer1.3", "conv3": "layer1.4",
+                "conv4": "layer2.0", "conv5": "layer2.1", "conv6": "layer2.5"}
+    for ours, ref in conv_map.items():
+        params[f"{ours}_kernel"] = conv3d_full(sd[f"{ref}.weight"])
+        params[f"{ours}_bias"] = _np(sd[f"{ref}.bias"])
+    bn_map = {"bn1": "layer1.1", "bn2": "layer1.5", "bn3": "layer2.2",
+              "bn4": "layer2.6"}
+    for ours, ref in bn_map.items():
+        p, s = bn(sd, ref)
+        params[ours] = {"BatchNorm_0": p}
+        stats[ours] = {"BatchNorm_0": s}
+    w = sd["fc.0.weight"]
+    i_dim = _np(w).shape[1]
+    spatial = i_dim // 256                    # T*H*W after three /2 pools
+    # torch pre-flatten order (C, T, H, W); infer T from C=256, H=W
+    hw = int(round((spatial // 2) ** 0.5))
+    params["fc"] = {"Dense_0": {
+        "kernel": linear_from_torch(w, (256, 2, hw, hw)),
+        "bias": _np(sd["fc.0.bias"])}}
+    return {"params": params, "batch_stats": stats}
+
+
 def _sepa(sd, prefix):
     """Reference SepaConv (xception.py:7-21) -> our SepaConv params."""
     return {"space_kernel": conv3d_spatial(sd[f"{prefix}.conv1.weight"]),
@@ -253,6 +327,8 @@ CONVERTERS = {
     "c2plus1d": stcnn_autoencoder_from_torch,
     "clstm": convlstm_from_torch,
     "xception": xception_from_torch,
+    "anogan_generator": anogan_generator_from_torch,
+    "anogan_discriminator": anogan_discriminator_from_torch,
 }
 
 
