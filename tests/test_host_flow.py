@@ -27,20 +27,26 @@ def test_host_flow_shape_and_framing():
     np.testing.assert_array_equal(out[:, -1], out[:, -2])
 
 
-def test_host_and_device_flow_agree_directionally():
+def test_host_and_device_flow_agree_on_motion():
+    # compare the recovered flow *fields* (the HSV-encoded colors are
+    # hypersensitive to hue near zero magnitude and not a stable metric)
+    cv2 = pytest.importorskip("cv2")
+    from vfd_gan_tpu.ops.flow import farneback_flow
+
     v = _moving_square_video()
-    host = host_video_to_flow_rgb(v)
-    dev = np.asarray(video_to_flow_rgb(jnp.asarray(v)))
-    # both encode downward motion of the square; compare where either path
-    # sees significant signal (value channel large -> saturated colors)
-    h_act = np.abs(host[0, 1]).max(axis=-1)
-    d_act = np.abs(dev[0, 1]).max(axis=-1)
-    mask = (h_act > 0.5) & (d_act > 0.5)
-    assert mask.sum() > 20
-    cos = np.sum(host[0, 1][mask] * dev[0, 1][mask]) / (
-        np.linalg.norm(host[0, 1][mask]) * np.linalg.norm(dev[0, 1][mask])
-        + 1e-9)
-    assert cos > 0.7
+    gray = ((v[..., 0] * 0.299 + v[..., 1] * 0.587 + v[..., 2] * 0.114)
+            + 1.0) / 2.0 * 255.0
+    dev = np.asarray(farneback_flow(jnp.asarray(gray[0, 1:2]),
+                                    jnp.asarray(gray[0, 2:3])))[0]
+    host = cv2.calcOpticalFlowFarneback(gray[0, 1].astype(np.uint8),
+                                        gray[0, 2].astype(np.uint8),
+                                        None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    # the square moves 3px in +y per frame; both must recover it inside
+    region = np.s_[13:23, 10:20]
+    np.testing.assert_allclose(dev[region].mean(axis=(0, 1)),
+                               host[region].mean(axis=(0, 1)), atol=0.3)
+    np.testing.assert_allclose(dev[region].mean(axis=(0, 1)), [0.0, 3.0],
+                               atol=0.3)
 
 
 def test_callback_works_under_jit():

@@ -176,41 +176,50 @@ def _box_blur_stack(stack, k):
     return jnp.moveaxis(out, 1, -1)
 
 
-def _flow_level(p1, p2, flow, winsize: int, iterations: int):
+def _flow_level(img1, img2, p1, flow, winsize: int, iterations: int,
+                poly_n: int, poly_sigma: float):
     """Iterative displacement refinement at one pyramid level.
 
-    p1/p2: stacked poly expansions ``(N, H, W, 5)`` = (bx, by, axx, ayy,
-    axy); flow: (N, H, W, 2) displacement in (x, y) order like cv2.
+    Uses the image-warping formulation: each iteration bilinearly warps the
+    *single-channel* second image by the current flow, re-expands it with
+    the (cheap, matmul-based) polynomial expansion, and solves for the
+    residual displacement.  Warping one channel instead of the five
+    coefficient maps cuts the gather volume 5x — gathers are the TPU's
+    weak spot, the matmul re-expansion is its strength.
+
+    img1/img2: ``(N, H, W)``; p1: poly expansion of img1 ``(N, H, W, 5)``;
+    flow: ``(N, H, W, 2)`` displacement in (x, y) order like cv2.
     """
     b1x, b1y = p1[..., 0], p1[..., 1]
     a1xx, a1yy, a1xy = p1[..., 2], p1[..., 3], p1[..., 4]
 
     def body(i, flow):
         fx, fy = flow[..., 0], flow[..., 1]
-        w2 = _bilinear_warp(p2, fx, fy)
-        # average the quadratic term, difference of linear terms
-        axx = (a1xx + w2[..., 2]) * 0.5
-        ayy = (a1yy + w2[..., 3]) * 0.5
-        axy = ((a1xy + w2[..., 4]) * 0.5) * 0.5   # off-diagonal of A
-        dbx = -0.5 * (w2[..., 0] - b1x) + axx * fx + axy * fy
-        dby = -0.5 * (w2[..., 1] - b1y) + axy * fx + ayy * fy
+        warped = _bilinear_warp(img2[..., None], fx, fy)[..., 0]
+        p2 = poly_expansion(warped, poly_n, poly_sigma)
+        # average the quadratic term; residual of the linear terms
+        axx = (a1xx + p2[..., 2]) * 0.5
+        ayy = (a1yy + p2[..., 3]) * 0.5
+        axy = ((a1xy + p2[..., 4]) * 0.5) * 0.5   # off-diagonal of A
+        rbx = -0.5 * (p2[..., 0] - b1x)
+        rby = -0.5 * (p2[..., 1] - b1y)
 
-        # accumulate normal equations over the window: G = A^T A, h = A^T db
+        # windowed normal equations: G = A^T A, h = A^T r (residual solve)
         quants = jnp.stack([
             axx * axx + axy * axy,
             axy * (axx + ayy),
             ayy * ayy + axy * axy,
-            axx * dbx + axy * dby,
-            axy * dbx + ayy * dby,
+            axx * rbx + axy * rby,
+            axy * rbx + ayy * rby,
         ], axis=-1)
         g11, g12, g22, h1, h2 = jnp.moveaxis(
             _box_blur_stack(quants, winsize), -1, 0)
 
         det = g11 * g22 - g12 * g12
         det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
-        new_fx = (g22 * h1 - g12 * h2) / det
-        new_fy = (g11 * h2 - g12 * h1) / det
-        return jnp.stack([new_fx, new_fy], axis=-1)
+        res_x = (g22 * h1 - g12 * h2) / det
+        res_y = (g11 * h2 - g12 * h1) / det
+        return flow + jnp.stack([res_x, res_y], axis=-1)
 
     return jax.lax.fori_loop(0, iterations, body, flow)
 
@@ -248,11 +257,9 @@ def farneback_flow(prev, cur, *, pyr_scale: float = 0.5, levels: int = 3,
         if li != levels - 1:
             nh, nw = p.shape[-2:]
             flow = resize_bilinear(flow, (nh, nw)) / pyr_scale
-        # expand both frames in one batched call
-        both = poly_expansion(jnp.concatenate([p, c], axis=0), poly_n,
-                              poly_sigma)
-        p1, p2 = jnp.split(both, 2, axis=0)
-        flow = _flow_level(p1, p2, flow, winsize, iterations)
+        p1 = poly_expansion(p, poly_n, poly_sigma)
+        flow = _flow_level(p, c, p1, flow, winsize, iterations,
+                           poly_n, poly_sigma)
     return flow
 
 
