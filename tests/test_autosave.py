@@ -1,0 +1,28 @@
+"""Crash-recovery autosave: rolling 'latest' checkpoint during training."""
+
+import os
+
+from vfd_gan_tpu.config import Config
+from vfd_gan_tpu.data.synthetic import make_dataset
+from vfd_gan_tpu.cli.trainer import build_iterators
+from vfd_gan_tpu.train.supervised_engine import SupervisedEngine
+
+
+def test_autosave_writes_latest(tmp_path):
+    root = str(tmp_path / "vids")
+    train_list, test_list = make_dataset(root, n_train=1, n_test=1,
+                                         frames=16, size=32)
+    cfg = Config(model="clstm", isize=16, nfr=8, batchsize=1, ep=1,
+                 freq=10 ** 6, autosave_every=2, result_root=str(tmp_path),
+                 tensorboard=False, compute_dtype="float32",
+                 tr_plist=train_list, ts_plist=test_list).validate()
+    eng = SupervisedEngine(cfg, *build_iterators(cfg))
+    eng.train()
+    latest = os.path.join(eng.dirs.weights, "latest")
+    assert os.path.isdir(latest)
+    # resume from it
+    cfg2 = Config(**{**cfg.__dict__, "resume": latest})
+    eng2 = SupervisedEngine(cfg2, *build_iterators(cfg2))
+    assert eng2.global_step == eng.global_step - eng.global_step % 2
+    eng.close()
+    eng2.close()

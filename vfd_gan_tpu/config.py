@@ -80,6 +80,14 @@ class Config:
     # Use the host cv2 optical-flow path instead of the on-device kernel
     # (parity-audit escape hatch; SURVEY.md §7 "hard parts").
     host_flow: bool = False
+    # Crash recovery: write a rolling "latest" full-state checkpoint every N
+    # steps (0 = off).  The reference loses the epoch on a crash
+    # (SURVEY.md §5 failure detection).
+    autosave_every: int = 0
+    # Optical-flow resolution scale for the GAN step (1.0 = full fidelity;
+    # e.g. 0.5 computes flow at half resolution and upsamples the encoded
+    # RGB — see ops/flow.py).
+    flow_scale: float = 1.0
 
     def validate(self) -> "Config":
         if self.model not in MODELS:

@@ -176,50 +176,47 @@ def _box_blur_stack(stack, k):
     return jnp.moveaxis(out, 1, -1)
 
 
-def _flow_level(img1, img2, p1, flow, winsize: int, iterations: int,
-                poly_n: int, poly_sigma: float):
+def _flow_level(p1, p2, flow, winsize: int, iterations: int):
     """Iterative displacement refinement at one pyramid level.
 
-    Uses the image-warping formulation: each iteration bilinearly warps the
-    *single-channel* second image by the current flow, re-expands it with
-    the (cheap, matmul-based) polynomial expansion, and solves for the
-    residual displacement.  Warping one channel instead of the five
-    coefficient maps cuts the gather volume 5x — gathers are the TPU's
-    weak spot, the matmul re-expansion is its strength.
+    Warps the five stacked polynomial-coefficient maps of the second frame
+    by the current flow in ONE fused bilinear gather (gather cost on TPU is
+    per *position*, so fusing channels is free — warping the raw image and
+    re-expanding was measured slower), then solves the box-blurred 2x2
+    normal equations in closed form.
 
-    img1/img2: ``(N, H, W)``; p1: poly expansion of img1 ``(N, H, W, 5)``;
-    flow: ``(N, H, W, 2)`` displacement in (x, y) order like cv2.
+    p1/p2: stacked poly expansions ``(N, H, W, 5)`` = (bx, by, axx, ayy,
+    axy); flow: (N, H, W, 2) displacement in (x, y) order like cv2.
     """
     b1x, b1y = p1[..., 0], p1[..., 1]
     a1xx, a1yy, a1xy = p1[..., 2], p1[..., 3], p1[..., 4]
 
     def body(i, flow):
         fx, fy = flow[..., 0], flow[..., 1]
-        warped = _bilinear_warp(img2[..., None], fx, fy)[..., 0]
-        p2 = poly_expansion(warped, poly_n, poly_sigma)
-        # average the quadratic term; residual of the linear terms
-        axx = (a1xx + p2[..., 2]) * 0.5
-        ayy = (a1yy + p2[..., 3]) * 0.5
-        axy = ((a1xy + p2[..., 4]) * 0.5) * 0.5   # off-diagonal of A
-        rbx = -0.5 * (p2[..., 0] - b1x)
-        rby = -0.5 * (p2[..., 1] - b1y)
+        w2 = _bilinear_warp(p2, fx, fy)
+        # average the quadratic term, difference of linear terms
+        axx = (a1xx + w2[..., 2]) * 0.5
+        ayy = (a1yy + w2[..., 3]) * 0.5
+        axy = ((a1xy + w2[..., 4]) * 0.5) * 0.5   # off-diagonal of A
+        dbx = -0.5 * (w2[..., 0] - b1x) + axx * fx + axy * fy
+        dby = -0.5 * (w2[..., 1] - b1y) + axy * fx + ayy * fy
 
-        # windowed normal equations: G = A^T A, h = A^T r (residual solve)
+        # accumulate normal equations over the window: G = A^T A, h = A^T db
         quants = jnp.stack([
             axx * axx + axy * axy,
             axy * (axx + ayy),
             ayy * ayy + axy * axy,
-            axx * rbx + axy * rby,
-            axy * rbx + ayy * rby,
+            axx * dbx + axy * dby,
+            axy * dbx + ayy * dby,
         ], axis=-1)
         g11, g12, g22, h1, h2 = jnp.moveaxis(
             _box_blur_stack(quants, winsize), -1, 0)
 
         det = g11 * g22 - g12 * g12
         det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
-        res_x = (g22 * h1 - g12 * h2) / det
-        res_y = (g11 * h2 - g12 * h1) / det
-        return flow + jnp.stack([res_x, res_y], axis=-1)
+        new_fx = (g22 * h1 - g12 * h2) / det
+        new_fy = (g11 * h2 - g12 * h1) / det
+        return jnp.stack([new_fx, new_fy], axis=-1)
 
     return jax.lax.fori_loop(0, iterations, body, flow)
 
@@ -257,9 +254,11 @@ def farneback_flow(prev, cur, *, pyr_scale: float = 0.5, levels: int = 3,
         if li != levels - 1:
             nh, nw = p.shape[-2:]
             flow = resize_bilinear(flow, (nh, nw)) / pyr_scale
-        p1 = poly_expansion(p, poly_n, poly_sigma)
-        flow = _flow_level(p, c, p1, flow, winsize, iterations,
-                           poly_n, poly_sigma)
+        # expand both frames in one batched call
+        both = poly_expansion(jnp.concatenate([p, c], axis=0), poly_n,
+                              poly_sigma)
+        p1, p2 = jnp.split(both, 2, axis=0)
+        flow = _flow_level(p1, p2, flow, winsize, iterations)
     return flow
 
 
@@ -296,7 +295,7 @@ def flow_to_rgb(flow):
     return _hsv_to_rgb(ang * 0.5, v)
 
 
-def video_to_flow_rgb(video):
+def video_to_flow_rgb(video, scale: float = 1.0):
     """Reference ``video_to_flow`` equivalent, fully on device.
 
     Input: RGB video ``(B, T, H, W, 3)`` in [-1, 1].  Pipeline
@@ -304,6 +303,12 @@ def video_to_flow_rgb(video):
     the batch, grayscale, Farneback flow over consecutive pairs, HSV->RGB
     encode, duplicate the last flow frame to keep T frames, scale to [-1, 1].
     Output: ``(B, T, H, W, 3)`` float32 in [-1, 1].
+
+    ``scale < 1`` computes flow at reduced resolution and upsamples the
+    encoded RGB — a perf knob (the warp gather dominates flow cost and
+    shrinks quadratically).  The HSV encoding is invariant to uniform flow
+    scaling (hue is an angle, value is per-frame min-max normalised), so
+    this only smooths fine motion detail.  Default 1.0 = full fidelity.
     """
     b, t, h, w, _ = video.shape
     # per-frame-index normalisation over (B, H, W, C) — the reference
@@ -314,9 +319,16 @@ def video_to_flow_rgb(video):
     gray = (0.299 * norm[..., 0] + 0.587 * norm[..., 1]
             + 0.114 * norm[..., 2]) * 255.0
 
-    prev = gray[:, :-1].reshape(b * (t - 1), h, w)
-    cur = gray[:, 1:].reshape(b * (t - 1), h, w)
-    flow = farneback_flow(prev, cur).reshape(b, t - 1, h, w, 2)
+    fh, fw = h, w
+    if scale < 1.0:
+        fh, fw = max(8, int(h * scale)), max(8, int(w * scale))
+        gray = resize_bilinear(gray[..., None], (fh, fw))[..., 0]
+
+    prev = gray[:, :-1].reshape(b * (t - 1), fh, fw)
+    cur = gray[:, 1:].reshape(b * (t - 1), fh, fw)
+    flow = farneback_flow(prev, cur).reshape(b, t - 1, fh, fw, 2)
     rgb = flow_to_rgb(flow)
+    if (fh, fw) != (h, w):
+        rgb = resize_bilinear(rgb, (h, w))
     rgb = jnp.concatenate([rgb, rgb[:, -1:]], axis=1)  # duplicate last frame
     return rgb * 2.0 - 1.0

@@ -156,29 +156,17 @@ class AnoGanEngine(EngineBase):
         return gt, pred, metrics, viz
 
     # ------------------------------------------------------------------
-    def train(self) -> None:
-        cfg = self.cfg
-        print(f" >> Training model {cfg.model}.")
-        for self.epoch in range(cfg.ep):
-            for batch in self.train_iter:
-                self.global_step += 1
-                self.key, step_key = jax.random.split(self.key)
-                sharded = shard_batch(self.mesh, batch)
-                self.g_state, self.d_state, metrics, viz = self._train_step(
-                    self.g_state, self.d_state, sharded, step_key)
-                self.timer.tick()
+    def _do_train_step(self, sharded, step_key):
+        self.g_state, self.d_state, metrics, viz = self._train_step(
+            self.g_state, self.d_state, sharded, step_key)
+        return metrics, viz
 
-                if self.global_step % cfg.freq == 0:
-                    self.errors.update({k: float(v) for k, v in metrics.items()})
-                    d = {k: np.asarray(v) for k, v in viz.items()}
-                    self.color_videos["train/input-real-gen"] = np.concatenate(
-                        [d["input"], d["real"], d["gen"]], axis=2)
-                    self.gray_videos["train/gt-pre-th-mor"] = np.concatenate(
-                        [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
-                    self.test()
-                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
-                    self.flush_summary()
-        print(f" >> Training model {cfg.model}.[Done]")
+    def _update_train_videos(self, viz) -> None:
+        d = {k: np.asarray(v) for k, v in viz.items()}
+        self.color_videos["train/input-real-gen"] = np.concatenate(
+            [d["input"], d["real"], d["gen"]], axis=2)
+        self.gray_videos["train/gt-pre-th-mor"] = np.concatenate(
+            [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
     def test(self) -> tuple[float, float, float]:
         gts, predicts = [], []

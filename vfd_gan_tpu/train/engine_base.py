@@ -49,6 +49,41 @@ class EngineBase:
 
         print(f"\n SAVE PATH == {self.dirs.root} \n")
 
+    # -- generic training loop ---------------------------------------------
+    # Engines implement: _do_train_step(batch, key) -> (metrics, viz)
+    # (mutating their state), _update_train_videos(viz), test(),
+    # _ckpt_tree(), _save_weights(head).
+
+    def train(self) -> None:
+        import jax
+        from vfd_gan_tpu.parallel.mesh import shard_batch
+        from vfd_gan_tpu.train.checkpoints import save_checkpoint
+
+        cfg = self.cfg
+        print(f" >> Training model {cfg.model}.")
+        for self.epoch in range(cfg.ep):
+            for batch in self.train_iter:
+                self.global_step += 1
+                self.key, step_key = jax.random.split(self.key)
+                metrics, viz = self._do_train_step(
+                    shard_batch(self.mesh, batch), step_key)
+                self.timer.tick()
+
+                if self.global_step % cfg.freq == 0:
+                    # device->host syncs only on the summary cadence
+                    self.errors.update(
+                        {k: float(v) for k, v in metrics.items()})
+                    self._update_train_videos(viz)
+                    self.test()
+                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
+                    self.flush_summary()
+
+                if cfg.autosave_every and \
+                        self.global_step % cfg.autosave_every == 0:
+                    save_checkpoint(self.weight_path("latest"),
+                                    self._ckpt_tree())
+        print(f" >> Training model {cfg.model}.[Done]")
+
     # -- metrics + best-checkpoint rule ------------------------------------
     def score_and_checkpoint(self, gts: np.ndarray, predicts: np.ndarray,
                              save_fn) -> tuple[float, float, float]:

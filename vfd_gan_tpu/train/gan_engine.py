@@ -96,7 +96,7 @@ class MyGanEngine(EngineBase):
             from vfd_gan_tpu.train.host_flow import video_to_flow_rgb_callback
             self._flow = video_to_flow_rgb_callback
         else:
-            self._flow = video_to_flow_rgb
+            self._flow = lambda v: video_to_flow_rgb(v, scale=cfg.flow_scale)
 
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
@@ -264,26 +264,10 @@ class MyGanEngine(EngineBase):
         return gt, m_pre, metrics, viz
 
     # ------------------------------------------------------------------
-    def train(self) -> None:
-        cfg = self.cfg
-        print(f" >> Training model {cfg.model}.")
-        for self.epoch in range(cfg.ep):
-            for batch in self.train_iter:
-                self.global_step += 1
-                self.key, step_key = jax.random.split(self.key)
-                sharded = shard_batch(self.mesh, batch)
-                self.g_state, self.d_state, metrics, viz = self._train_step(
-                    self.g_state, self.d_state, sharded, step_key)
-                self.timer.tick()
-
-                if self.global_step % cfg.freq == 0:
-                    self.errors.update(
-                        {k: float(v) for k, v in metrics.items()})
-                    self._update_train_videos(viz)
-                    self.test()
-                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
-                    self.flush_summary()
-        print(f" >> Training model {cfg.model}.[Done]")
+    def _do_train_step(self, sharded, step_key):
+        self.g_state, self.d_state, metrics, viz = self._train_step(
+            self.g_state, self.d_state, sharded, step_key)
+        return metrics, viz
 
     def _update_train_videos(self, viz) -> None:
         d = {k: np.asarray(v) for k, v in viz.items()}

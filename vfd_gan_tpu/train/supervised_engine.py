@@ -95,27 +95,10 @@ class SupervisedEngine(EngineBase):
         return bce(pred, gt), gt, pred, m_pre, data, real
 
     # -- loops -------------------------------------------------------------
-    def train(self) -> None:
-        cfg = self.cfg
-        print(f" >> Training model {cfg.model}.")
-        for self.epoch in range(cfg.ep):
-            for batch in self.train_iter:
-                self.global_step += 1
-                self.key, step_key = jax.random.split(self.key)
-                sharded = shard_batch(self.mesh, batch)
-                self.state, loss, viz = self._train_step(
-                    self.state, sharded, step_key)
-                self.timer.tick()
-
-                if self.global_step % cfg.freq == 0:
-                    # Only sync device->host on the summary cadence; a
-                    # per-step float(loss) would stall the TPU pipeline.
-                    self.errors["loss/err/train"] = float(loss)
-                    self._update_train_videos(viz)
-                    self.test()
-                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
-                    self.flush_summary()
-        print("Training model Done.")
+    def _do_train_step(self, sharded, step_key):
+        self.state, loss, viz = self._train_step(self.state, sharded,
+                                                 step_key)
+        return {"loss/err/train": loss}, viz
 
     def _update_train_videos(self, viz) -> None:
         d = {k: np.asarray(v) for k, v in viz.items()}
@@ -146,8 +129,10 @@ class SupervisedEngine(EngineBase):
         self.errors["loss/err/test"] = float(np.mean(errs)) if errs else 0.0
         return roc, pr, f1
 
+    def _ckpt_tree(self):
+        return {"state": self.state, "step": self.global_step}
+
     def _save_weights(self, head: str) -> None:
         name = f"{head}-{self.best_roc if head == 'roc' else self.best_pr:.4f}" \
                f"_step{self.global_step:04d}"
-        save_checkpoint(self.weight_path(name),
-                        {"state": self.state, "step": self.global_step})
+        save_checkpoint(self.weight_path(name), self._ckpt_tree())
