@@ -81,6 +81,17 @@ def test_fake_vs_original_items(tiny_dataset):
     assert lb.tolist() == [0.0] * 8
 
 
+def test_batch_iterator_workers_match_single_thread(tiny_dataset):
+    train_list, _ = tiny_dataset
+    ds = MdfVideoDataset(train_list, nfr=8, staging=32)
+    single = list(ClipBatchIterator(ds, 3, shuffle=False))
+    multi = list(ClipBatchIterator(ds, 3, shuffle=False, workers=3))
+    assert len(single) == len(multi)
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a["data"], b["data"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
 def test_batch_iterator_shapes_and_drop_last(tiny_dataset):
     train_list, _ = tiny_dataset
     ds = MdfVideoDataset(train_list, nfr=8, staging=32)

@@ -23,9 +23,11 @@ def build_iterators(cfg: Config):
                                staging=staging_size(cfg.isize))
     test_ds = MdfVideoDataset(cfg.ts_plist, cfg.nfr, staging=cfg.isize)
     return (ClipBatchIterator(train_ds, cfg.batchsize, shuffle=True,
-                              seed=cfg.seed, prefetch=cfg.prefetch),
+                              seed=cfg.seed, prefetch=cfg.prefetch,
+                              workers=cfg.workers),
             ClipBatchIterator(test_ds, cfg.batchsize, shuffle=True,
-                              seed=cfg.seed, prefetch=cfg.prefetch))
+                              seed=cfg.seed, prefetch=cfg.prefetch,
+                              workers=cfg.workers))
 
 
 def build_engine(cfg: Config, train_iter, test_iter):

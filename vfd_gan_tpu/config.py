@@ -88,6 +88,9 @@ class Config:
     # e.g. 0.5 computes flow at half resolution and upsamples the encoded
     # RGB — see ops/flow.py).
     flow_scale: float = 1.0
+    # Rematerialise generator conv blocks in backward (memory for FLOPs;
+    # enables long-clip / large-batch configurations).
+    remat: bool = False
 
     def validate(self) -> "Config":
         if self.model not in MODELS:

@@ -114,18 +114,27 @@ class ClipBatchIterator:
     """
 
     def __init__(self, dataset: MdfVideoDataset, batch_size: int,
-                 shuffle: bool = True, seed: int = 0, prefetch: int = 2):
+                 shuffle: bool = True, seed: int = 0, prefetch: int = 2,
+                 workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = max(1, prefetch)
+        self.workers = max(1, workers)
         self._rng = np.random.default_rng(seed)
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 
     def _assemble(self, indices) -> dict[str, np.ndarray]:
-        items = [self.dataset[i] for i in indices]
+        if self.workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.workers)
+            items = list(self._pool.map(self.dataset.__getitem__, indices))
+        else:
+            items = [self.dataset[i] for i in indices]
         return {
             "data": native.pack_clips([it[0] for it in items]),
             "real": native.pack_clips([it[1] for it in items]),

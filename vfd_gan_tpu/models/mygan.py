@@ -38,16 +38,25 @@ Dtype = Any
 
 
 class Generator(nn.Module):
-    """U-Net mask predictor (reference NetG, models/mygannet.py:31-101)."""
+    """U-Net mask predictor (reference NetG, models/mygannet.py:31-101).
+
+    ``remat=True`` rematerialises each conv block in the backward pass
+    (jax.checkpoint), trading ~30% more FLOPs for activation memory — for
+    long-clip / large-batch configurations.
+    """
 
     ngf: int = 32
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        blk = lambda f, name: GenConvBlock(f, dtype=self.dtype,
-                                           axis_name=self.axis_name, name=name)
+        # static_argnums: (self, x, train) -> `train` must stay a python bool
+        block_cls = (nn.remat(GenConvBlock, static_argnums=(2,))
+                     if self.remat else GenConvBlock)
+        blk = lambda f, name: block_cls(f, dtype=self.dtype,
+                                        axis_name=self.axis_name, name=name)
         drop = nn.Dropout(rate=0.25, deterministic=not train)
         g = self.ngf
 

@@ -56,7 +56,7 @@ class MyGanEngine(EngineBase):
             print("\n --Using C2plus1d AutoEncoder as G-- ")
             self.netg = AutoEncoder(dtype=dtype)
         else:
-            self.netg = Generator(ngf=cfg.ngf, dtype=dtype)
+            self.netg = Generator(ngf=cfg.ngf, dtype=dtype, remat=cfg.remat)
         self.netd = DualDisc(ndf=cfg.ndf, dtype=dtype)
         self.tx_g = make_adam(cfg.lr, cfg.beta1)
         self.tx_d = make_adam(cfg.lr, cfg.beta1)
