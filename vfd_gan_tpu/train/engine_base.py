@@ -56,17 +56,17 @@ class EngineBase:
 
     def train(self) -> None:
         import jax
-        from vfd_gan_tpu.parallel.mesh import shard_batch
+        from vfd_gan_tpu.parallel.prefetch import device_prefetch
         from vfd_gan_tpu.train.checkpoints import save_checkpoint
 
         cfg = self.cfg
         print(f" >> Training model {cfg.model}.")
         for self.epoch in range(cfg.ep):
-            for batch in self.train_iter:
+            for sharded in device_prefetch(self.train_iter, self.mesh,
+                                           depth=max(1, cfg.prefetch)):
                 self.global_step += 1
                 self.key, step_key = jax.random.split(self.key)
-                metrics, viz = self._do_train_step(
-                    shard_batch(self.mesh, batch), step_key)
+                metrics, viz = self._do_train_step(sharded, step_key)
                 self.timer.tick()
 
                 if self.global_step % cfg.freq == 0:
@@ -115,6 +115,13 @@ class EngineBase:
                             errors=self.errors,
                             scores=self.scores,
                             hists=self.hists)
+        # plain-text metrics stream alongside TB (grep/pandas friendly)
+        import json
+        rec = {"step": self.global_step, "epoch": self.epoch,
+               **{k: float(v) for k, v in self.errors.items()},
+               **{k: float(v) for k, v in self.scores.items()}}
+        with open(os.path.join(self.dirs.root, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def close(self) -> None:
         self.summary.close()
