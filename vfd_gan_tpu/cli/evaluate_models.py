@@ -52,27 +52,37 @@ def build_parser():
     return p
 
 
-def load_model(ckpt_path: str, args):
-    """Substring dispatch + checkpoint restore (test.py:115-144)."""
-    if "ganbase" in ckpt_path or "mygan" in ckpt_path:
+def _model_from_params(params):
+    """Structure-based dispatch fallback (covers --ae GAN checkpoints whose
+    generator is the AutoEncoder, models/mygannet.py:224-230)."""
+    if "dconv1" in params and "uconv1" in params:
         from vfd_gan_tpu.models.mygan import Generator
-        model, name = Generator(), "Propose model[GAN]"
-    elif "c2plus1d" in ckpt_path:
+        return Generator(), "Propose model[GAN]"
+    if "down1" in params:
         from vfd_gan_tpu.models.stcnn import AutoEncoder
-        model, name = AutoEncoder(), "(2+1)DCNN"
-    elif "xception" in ckpt_path:
+        return AutoEncoder(), "(2+1)DCNN"
+    if "entry1" in params:
         from vfd_gan_tpu.models.xception3d import Xception3D
-        model, name = Xception3D(), "XceptionNet"
-    elif "clstm" in ckpt_path:
+        return Xception3D(), "XceptionNet"
+    if "clstm1" in params:
         from vfd_gan_tpu.models.convlstm import ConvLSTMModel
-        model, name = ConvLSTMModel(), "ConvLSTM"
-    else:
-        raise SystemExit(f"cannot infer model type from path: {ckpt_path}")
+        return ConvLSTMModel(), "ConvLSTM"
+    raise SystemExit("cannot infer model type from checkpoint structure")
 
+
+def load_model(ckpt_path: str, args):
+    """Checkpoint restore + model dispatch.
+
+    Primary rule mirrors the reference's path-substring dispatch
+    (test.py:115-144); the parameter-tree structure is the tie-breaker so
+    e.g. an ``--ae`` MyGAN run (AutoEncoder generator under a mygan run
+    dir) still loads correctly.
+    """
     tree = restore_checkpoint(ckpt_path)
     # engines save either {"netG": state, ...} (GANs) or {"state": ...}
     net = tree.get("netG", tree.get("state"))
     variables = {"params": net["params"], "batch_stats": net["batch_stats"]}
+    model, name = _model_from_params(net["params"])
     return model, variables, name
 
 
