@@ -16,7 +16,6 @@ unbounded hysteresis BFS differ).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

@@ -19,9 +19,7 @@ Layout is channel-last ``(B, T, H, W, C)`` everywhere; kernels are stored in
 
 from __future__ import annotations
 
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -25,7 +25,7 @@ output is RGB scaled to [-1, 1].
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

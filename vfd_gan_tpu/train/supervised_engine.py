@@ -14,7 +14,6 @@ gradient all-reduce).  The periodic eval step is a second fixed-shape jit
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
