@@ -51,6 +51,57 @@ def halo_exchange(block: jnp.ndarray, halo: int, axis_name: str = "sp"):
     return jnp.concatenate([from_left, block, from_right], axis=1)
 
 
+def _upsample2x_t_local(block: jnp.ndarray, axis_name: str = "sp"):
+    """Local part of align-corners x2 temporal upsampling of a T-sharded
+    clip: exchange one halo frame per side, then interpolate at the global
+    align_corners grid ``src = i * (T-1) / (2T-1)``.
+
+    The source index band needed by shard k's output block is
+    [k*L - 1, (k+1)*L], exactly the local block plus one halo frame each
+    way; edge shards never index into their (zeroed) outer halos because
+    the clamped global indices stay inside their own frames.
+    """
+    n = lax.axis_size(axis_name)
+    k = lax.axis_index(axis_name)
+    L = block.shape[1]
+    T = n * L
+    buf = halo_exchange(block, 1, axis_name)        # (B, L+2, ...)
+
+    i = jnp.arange(2 * L) + 2 * k * L               # global output indices
+    src = i.astype(jnp.float32) * (T - 1) / (2 * T - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    w = (src - lo).reshape((1, 2 * L) + (1,) * (block.ndim - 2))
+    hi = jnp.minimum(lo + 1, T - 1)
+    lo_local = lo - (k * L - 1)
+    hi_local = hi - (k * L - 1)
+    lo_v = jnp.take(buf, lo_local, axis=1)
+    hi_v = jnp.take(buf, hi_local, axis=1)
+    return lo_v * (1 - w) + hi_v * w
+
+
+def upsample2x_t_sp(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Frame-sharded align-corners x2 temporal upsample, numerically equal
+    to ``resize_trilinear`` on the T axis (the decoder's upsample,
+    models/mygannet.py:50) for T-sharded inputs."""
+    fn = shard_map(_upsample2x_t_local, mesh=mesh,
+                   in_specs=P(None, "sp"), out_specs=P(None, "sp"))
+    return fn(x)
+
+
+def avg_pool2x_t_sp(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Frame-sharded temporal /2 average pool (encoder downsample).  Purely
+    local when the per-shard frame count is even."""
+    def local(block):
+        b, L = block.shape[:2]
+        assert L % 2 == 0, "per-shard frames must be even for local pooling"
+        shaped = block.reshape((b, L // 2, 2) + block.shape[2:])
+        return shaped.mean(axis=2)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(None, "sp"),
+                   out_specs=P(None, "sp"))
+    return fn(x)
+
+
 def temporal_conv_sp(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
                      padding: int | None = None) -> jnp.ndarray:
     """Frame-sharded temporal convolution, numerically identical to the
