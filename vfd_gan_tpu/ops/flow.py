@@ -146,7 +146,14 @@ def poly_expansion(img, n: int = 5, sigma: float = 1.2):
 
 def _bilinear_warp(fields, flow_x, flow_y):
     """Sample ``fields`` (N, H, W, C) at (x + flow_x, y + flow_y), clamped.
-    One fused gather covers all C channels (the 5 poly-coefficient maps)."""
+
+    One fused gather covers all C channels (the 5 poly-coefficient maps).
+    Measured alternatives that did NOT help (see BENCH_NOTES.md): warping a
+    single channel and re-expanding (gather cost is per position), packing
+    the four bilinear corners into 4C channels for a single gather
+    (XLA already amortises the four corner fetches), 2-D advanced indexing,
+    bf16 operands, and take_along_axis (10x slower).
+    """
     n, h, w, c = fields.shape
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x
