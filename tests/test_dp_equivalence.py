@@ -1,0 +1,81 @@
+"""DP-sharded step == single-device step on the same batch (SURVEY.md §4
+distributed-test strategy), plus init-distribution checks."""
+
+import jax
+import numpy as np
+import pytest
+
+from vfd_gan_tpu.config import Config
+from vfd_gan_tpu.data.synthetic import make_dataset
+from vfd_gan_tpu.cli.trainer import build_iterators
+from vfd_gan_tpu.train.supervised_engine import SupervisedEngine
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dp_vids"))
+    return make_dataset(root, n_train=2, n_test=1, frames=16, size=32)
+
+
+def test_dp4_matches_dp1(data, tmp_path):
+    train_list, test_list = data
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+
+    results = {}
+    for dp in (1, 4):
+        cfg = Config(model="clstm", isize=16, nfr=8, batchsize=4, ep=1,
+                     freq=10 ** 6, dp=dp, lr=1e-3,
+                     result_root=str(tmp_path), tensorboard=False,
+                     compute_dtype="float32", seed=7,
+                     tr_plist=train_list, ts_plist=test_list).validate()
+        eng = SupervisedEngine(cfg, *build_iterators(cfg))
+        batch = next(iter(eng.train_iter))
+        from vfd_gan_tpu.parallel.mesh import shard_batch
+        state, loss, _ = eng._train_step(
+            eng.state, shard_batch(eng.mesh, batch), jax.random.key(3))
+        results[dp] = (float(loss),
+                       [np.asarray(x) for x in
+                        jax.tree_util.tree_leaves(jax.device_get(state.params))])
+        eng.close()
+
+    # GSPMD data parallelism computes *global* batch statistics and a global
+    # gradient mean — equal to the single-device step up to cross-device
+    # reduction-order float noise.
+    np.testing.assert_allclose(results[1][0], results[4][0], rtol=1e-5)
+    for a, b in zip(results[1][1], results[4][1]):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_init_distributions():
+    """weights_init distributions (lib/utils.py:51-56): conv kernels
+    N(0, 0.02), BN scale N(1, 0.02), BN bias 0."""
+    import jax.numpy as jnp
+    from vfd_gan_tpu.models.mygan import Generator
+
+    x = jnp.zeros((1, 16, 16, 16, 3), jnp.float32)
+    variables = Generator(ngf=16).init(jax.random.key(11), x, False)
+    params = variables["params"]
+
+    kernels = np.concatenate([
+        np.asarray(v).ravel()
+        for path, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        if "kernel" in str(path[-1])])
+    assert abs(kernels.std() - 0.02) < 0.002
+    assert abs(kernels.mean()) < 0.002
+
+    scales = np.concatenate([
+        np.asarray(v).ravel()
+        for path, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        if "scale" in str(path[-1])])
+    assert abs(scales.mean() - 1.0) < 0.01
+    assert abs(scales.std() - 0.02) < 0.005
+
+    biases = [np.asarray(v) for path, v in
+              jax.tree_util.tree_flatten_with_path(params)[0]
+              if str(path[-1]) == "GetAttrKey(name='bias')"]
+    # BN biases exist and are zero
+    bn_biases = [np.asarray(v).ravel() for path, v in
+                 jax.tree_util.tree_flatten_with_path(params)[0]
+                 if "bn" in str(path).lower() and "bias" in str(path[-1])]
+    assert bn_biases and all((b == 0).all() for b in bn_biases)
