@@ -21,7 +21,6 @@ all augmentation geometry runs on device (vfd_gan_tpu/ops/augment.py).
 from __future__ import annotations
 
 import os
-import queue
 import threading
 from dataclasses import dataclass
 
@@ -149,7 +148,9 @@ class ClipBatchIterator:
         n_batches = len(self)
         if n_batches == 0:
             return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # decode->train hand-off through the native SPSC ring when built
+        # (native/vfd_host.cpp); queue.Queue fallback otherwise
+        q = native.make_queue(self.prefetch + 1)
         stop = threading.Event()
 
         def producer():
@@ -158,11 +159,12 @@ class ClipBatchIterator:
                     return
                 idx = order[b * self.batch_size:(b + 1) * self.batch_size]
                 try:
-                    q.put(self._assemble(idx))
+                    if not q.put(self._assemble(idx), stop_event=stop):
+                        return
                 except Exception as e:  # propagate decode errors to consumer
-                    q.put(e)
+                    q.put(e, stop_event=stop)
                     return
-            q.put(None)
+            q.put(None, stop_event=stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -75,6 +75,88 @@ def window_table(frames_per_video, nfr: int):
     return video, first
 
 
+class RingQueue:
+    """SPSC queue over the native prefetch ring (decode thread -> train
+    loop).  Slot *sequencing* is native (lock-free atomics); the Python
+    objects ride in a slot table.  Falls back to queue.Queue semantics via
+    :func:`make_queue` when the native library is unavailable."""
+
+    def __init__(self, n_slots: int, spin_sleep: float = 0.001):
+        import ctypes
+        lib = _load()
+        assert lib is not None
+        lib.vfd_ring_create.restype = ctypes.c_void_p
+        lib.vfd_ring_create.argtypes = [ctypes.c_int64]
+        for fn in ("vfd_ring_acquire_produce", "vfd_ring_acquire_consume"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        for fn in ("vfd_ring_publish", "vfd_ring_release"):
+            getattr(lib, fn).restype = None
+            getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.vfd_ring_destroy.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._ring = lib.vfd_ring_create(n_slots)
+        self._slots: list = [None] * n_slots
+        self._sleep = spin_sleep
+
+    def put(self, item, stop_event=None) -> bool:
+        """Blocking put; returns False if ``stop_event`` fires first."""
+        import time
+        while True:
+            slot = self._lib.vfd_ring_acquire_produce(self._ring)
+            if slot >= 0:
+                break
+            if stop_event is not None and stop_event.is_set():
+                return False
+            time.sleep(self._sleep)
+        self._slots[slot] = item
+        self._lib.vfd_ring_publish(self._ring, slot)
+        return True
+
+    def get(self):
+        import time
+        while True:
+            slot = self._lib.vfd_ring_acquire_consume(self._ring)
+            if slot >= 0:
+                break
+            time.sleep(self._sleep)
+        item = self._slots[slot]
+        self._slots[slot] = None
+        self._lib.vfd_ring_release(self._ring, slot)
+        return item
+
+    def __del__(self):
+        if getattr(self, "_ring", None):
+            self._lib.vfd_ring_destroy(self._ring)
+            self._ring = None
+
+
+class _PyQueue:
+    """queue.Queue fallback with the RingQueue interface."""
+
+    def __init__(self, n_slots: int):
+        import queue
+        self._q = queue.Queue(maxsize=n_slots)
+
+    def put(self, item, stop_event=None) -> bool:
+        import queue as _q
+        while True:
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except _q.Full:
+                if stop_event is not None and stop_event.is_set():
+                    return False
+
+    def get(self):
+        return self._q.get()
+
+
+def make_queue(n_slots: int):
+    """Native SPSC ring when available, queue.Queue otherwise."""
+    return RingQueue(n_slots) if available() else _PyQueue(n_slots)
+
+
 def pack_clips(clips: list[np.ndarray], invert: bool = False,
                n_threads: int = 2) -> np.ndarray:
     """Pack K identically-shaped uint8 clips into one (K, ...) batch."""
