@@ -158,8 +158,14 @@ def make_queue(n_slots: int):
 
 
 def pack_clips(clips: list[np.ndarray], invert: bool = False,
-               n_threads: int = 2) -> np.ndarray:
-    """Pack K identically-shaped uint8 clips into one (K, ...) batch."""
+               n_threads: int | None = None) -> np.ndarray:
+    """Pack K identically-shaped uint8 clips into one (K, ...) batch.
+
+    Threads default to min(K, cpu_count) capped at 4; on a single-core host
+    one thread wins (measured 0.44 ms vs 0.52 ms np.stack vs 0.92 ms with
+    needless threads for a b4 staged batch)."""
+    if n_threads is None:
+        n_threads = max(1, min(len(clips), os.cpu_count() or 1, 4))
     lib = _load()
     if lib is None:
         batch = np.stack(clips)
