@@ -320,9 +320,8 @@ def video_to_flow_rgb(video, scale: float = 1.0):
     b, t, h, w, _ = video.shape
     # per-frame-index normalisation over (B, H, W, C) — the reference
     # normalises each time slab of the *batch* jointly (lib/utils.py:96).
-    norm = minmax_normalize(video, axis=None) if b == 0 else \
-        jnp.moveaxis(jax.vmap(lambda s: minmax_normalize(s))(
-            jnp.moveaxis(video, 1, 0)), 0, 1)
+    norm = jnp.moveaxis(
+        jax.vmap(minmax_normalize)(jnp.moveaxis(video, 1, 0)), 0, 1)
     gray = (0.299 * norm[..., 0] + 0.587 * norm[..., 1]
             + 0.114 * norm[..., 2]) * 255.0
 
