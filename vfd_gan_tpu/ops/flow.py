@@ -332,7 +332,21 @@ def video_to_flow_rgb(video, scale: float = 1.0):
 
     prev = gray[:, :-1].reshape(b * (t - 1), fh, fw)
     cur = gray[:, 1:].reshape(b * (t - 1), fh, fw)
-    flow = farneback_flow(prev, cur).reshape(b, t - 1, fh, fw, 2)
+
+    # XLA's warp-gather cost has a cliff past ~128 fields at 128^2 (4x the
+    # per-field cost; see BENCH_NOTES.md) — process large pair batches in
+    # sequential chunks below it.
+    n = prev.shape[0]
+    chunk = n if n <= 128 else \
+        max((d for d in range(1, 129) if n % d == 0), default=1)
+    if chunk < n:
+        flow = jax.lax.map(
+            lambda pc: farneback_flow(pc[0], pc[1]),
+            (prev.reshape(n // chunk, chunk, fh, fw),
+             cur.reshape(n // chunk, chunk, fh, fw)))
+        flow = flow.reshape(b, t - 1, fh, fw, 2)
+    else:
+        flow = farneback_flow(prev, cur).reshape(b, t - 1, fh, fw, 2)
     rgb = flow_to_rgb(flow)
     if (fh, fw) != (h, w):
         rgb = resize_bilinear(rgb, (h, w))
