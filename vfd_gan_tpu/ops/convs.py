@@ -143,12 +143,33 @@ def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
 def max_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
                stride: tuple[int, int, int],
                padding: tuple[int, int, int] = (0, 0, 0)) -> jnp.ndarray:
-    """``nn.MaxPool3d`` equivalent with -inf padding (Xception, xception.py:59)."""
-    dims = (1, *window, 1)
-    strides = (1, *stride, 1)
-    pad = ((0, 0), *[(p, p) for p in padding], (0, 0))
+    """``nn.MaxPool3d`` equivalent with -inf padding (Xception, xception.py:59).
+
+    Implemented as a max over the window's strided slices (window sizes here
+    are tiny) — fully differentiable, unlike generic ``reduce_window``
+    reducers under this JAX version's reverse-mode AD.
+    """
     neg = jnp.asarray(-jnp.inf, x.dtype)
-    return lax.reduce_window(x, neg, lax.max, dims, strides, pad)
+    pad = ((0, 0), *[(p, p) for p in padding], (0, 0))
+    xp = jnp.pad(x, pad, constant_values=neg)
+    sizes = xp.shape
+    out_sz = [(sizes[i + 1] - window[i]) // stride[i] + 1 for i in range(3)]
+
+    out = None
+    for dt in range(window[0]):
+        for dh in range(window[1]):
+            for dw in range(window[2]):
+                sl = lax.slice(
+                    xp,
+                    (0, dt, dh, dw, 0),
+                    (sizes[0],
+                     dt + (out_sz[0] - 1) * stride[0] + 1,
+                     dh + (out_sz[1] - 1) * stride[1] + 1,
+                     dw + (out_sz[2] - 1) * stride[2] + 1,
+                     sizes[4]),
+                    (1, *stride, 1))
+                out = sl if out is None else jnp.maximum(out, sl)
+    return out
 
 
 def r2plus1d_mid_channels(kt: int, kh: int, kw: int, cin: int, cout: int) -> int:
