@@ -68,6 +68,39 @@ def test_evaluate_models_cli(dataset, tmp_path):
     assert (out_dir / "roc_curve.png").exists()
 
 
+def test_evaluate_models_cli_gan_checkpoint(dataset, tmp_path):
+    """The 'Propose model[GAN]' path: a paired netG/netD checkpoint loads
+    through the structure dispatch and evaluates the generator."""
+    import jax
+    import jax.numpy as jnp
+    from vfd_gan_tpu.models.mygan import Generator
+    from vfd_gan_tpu.train.checkpoints import save_checkpoint
+
+    root, _, test_list = dataset
+    # the U-Net needs four temporal halvings -> nfr 16 (= one window of the
+    # 16-frame fixture videos)
+    x = jnp.zeros((1, 16, 16, 16, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k: Generator(ngf=32).init({"params": k, "dropout": k}, x,
+                                         False))(jax.random.key(0))
+    ckpt = tmp_path / "mygan_roc_ep0001"
+    save_checkpoint(str(ckpt), {
+        "netG": {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+        "step": 1})
+
+    model_list = tmp_path / "gan_models.txt"
+    model_list.write_text(str(ckpt) + "\n")
+    out_dir = tmp_path / "gan_cmp"
+    results = eval_main(["--test_data_path", test_list,
+                         "--test_model_list_path", str(model_list),
+                         "--isize", "16", "--nfr", "16", "--batchsize", "1",
+                         "--metric", "pr",
+                         "--result_path", str(out_dir)])
+    assert "Propose model[GAN]" in results
+    assert (out_dir / "pr_curve.png").exists()
+
+
 def test_frames_dump(dataset, tmp_path):
     root, _, _ = dataset
     out = tmp_path / "png"
