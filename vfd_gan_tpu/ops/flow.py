@@ -333,12 +333,22 @@ def video_to_flow_rgb(video, scale: float = 1.0):
     prev = gray[:, :-1].reshape(b * (t - 1), fh, fw)
     cur = gray[:, 1:].reshape(b * (t - 1), fh, fw)
 
-    # XLA's warp-gather cost has a cliff past ~128 fields at 128^2 (4x the
-    # per-field cost; see BENCH_NOTES.md) — process large pair batches in
-    # sequential chunks below it.
+    # The warp-gather's per-field cost steps up with operand size (cliff at
+    # ~128 fields @128^2, and still ~15% cheaper at <=32; BENCH_NOTES.md) —
+    # process pair batches in sequential chunks.  Tiny chunks would pay too
+    # much fixed overhead, so fall back to wider ones when n has no
+    # convenient divisor.
     n = prev.shape[0]
-    chunk = n if n <= 128 else \
-        max((d for d in range(1, 129) if n % d == 0), default=1)
+
+    def _chunk_size(n):
+        for cap in (32, 128):
+            best = max((d for d in range(1, cap + 1) if n % d == 0),
+                       default=1)
+            if best >= min(8, n):
+                return best
+        return n
+
+    chunk = _chunk_size(n)
     if chunk < n:
         flow = jax.lax.map(
             lambda pc: farneback_flow(pc[0], pc[1]),
