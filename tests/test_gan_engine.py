@@ -65,6 +65,24 @@ def test_mygan_end_to_end(loaders, tmp_path):
     assert os.listdir(eng.dirs.weights)
 
 
+def test_ae_generator_swap_one_step(loaders, tmp_path):
+    """--ae swaps the U-Net for the (2+1)D AutoEncoder as G
+    (models/mygannet.py:224-230); one fused step must run and update it."""
+    train_list, test_list = loaders
+    cfg = _cfg(tmp_path, train_list, test_list, ae=True, freq=10 ** 6)
+    eng = MyGanEngine(cfg, *_iters(cfg, train_list, test_list))
+    assert type(eng.netg).__name__ == "AutoEncoder"
+    batch = next(iter(eng.train_iter))
+    from vfd_gan_tpu.parallel.mesh import shard_batch
+    g0 = np.asarray(jax.tree_util.tree_leaves(eng.g_state.params)[0]).copy()
+    metrics, _ = eng._do_train_step(shard_batch(eng.mesh, batch),
+                                    jax.random.key(5))
+    assert np.isfinite(float(metrics["g/err_g_con/train"]))
+    g1 = np.asarray(jax.tree_util.tree_leaves(eng.g_state.params)[0])
+    assert not np.allclose(g0, g1)
+    eng.close()
+
+
 def test_adv_term_has_no_generator_gradient(loaders, tmp_path):
     """The adversarial feature-matching loss must not train G (detached
     inputs, models/mygannet.py:279-286): G updates are identical whether
