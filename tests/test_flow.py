@@ -81,3 +81,30 @@ def test_video_to_flow_rgb_shape_and_duplicate_last():
     assert out.min() >= -1.0 and out.max() <= 1.0
     # last flow frame duplicated (lib/utils.py:123-125)
     np.testing.assert_array_equal(out[:, -1], out[:, -2])
+
+
+def test_streams_normalisation_matches_separate_calls():
+    """The reference calls video_to_flow once per video stream
+    (models/mygannet.py:281-282), so each stream is min-max stretched on
+    its own; ``streams=2`` on a batched call must reproduce exactly the
+    two separate single-stream calls.  A binary gt stream batched with a
+    narrow-range sigmoid-like stream is the regression case: a joint
+    min-max would leave the narrow stream unstretched."""
+    b, t, h, w = 2, 4, 32, 32
+    gt = (rng.uniform(size=(b, t, h, w, 1)) > 0.5).astype(np.float32)
+    gt3 = np.repeat(gt * 2.0 - 1.0, 3, axis=-1)            # binary, [-1, 1]
+    pred = rng.uniform(-0.2, 0.2, size=(b, t, h, w, 1)).astype(np.float32)
+    pred3 = np.repeat(pred, 3, axis=-1)                     # narrow range
+
+    both = np.concatenate([gt3, pred3], axis=0)
+    fused = np.asarray(video_to_flow_rgb(jnp.asarray(both), streams=2))
+    sep_gt = np.asarray(video_to_flow_rgb(jnp.asarray(gt3)))
+    sep_pred = np.asarray(video_to_flow_rgb(jnp.asarray(pred3)))
+
+    np.testing.assert_allclose(fused[:b], sep_gt, atol=1e-5)
+    np.testing.assert_allclose(fused[b:], sep_pred, atol=1e-5)
+
+    # and the joint (streams=1) normalisation is NOT equivalent — guards
+    # against silently regressing to the coupled behaviour
+    joint = np.asarray(video_to_flow_rgb(jnp.asarray(both)))
+    assert np.abs(joint[b:] - sep_pred).max() > 1e-3

@@ -302,7 +302,7 @@ def flow_to_rgb(flow):
     return _hsv_to_rgb(ang * 0.5, v)
 
 
-def video_to_flow_rgb(video, scale: float = 1.0):
+def video_to_flow_rgb(video, scale: float = 1.0, streams: int = 1):
     """Reference ``video_to_flow`` equivalent, fully on device.
 
     Input: RGB video ``(B, T, H, W, 3)`` in [-1, 1].  Pipeline
@@ -311,6 +311,15 @@ def video_to_flow_rgb(video, scale: float = 1.0):
     encode, duplicate the last flow frame to keep T frames, scale to [-1, 1].
     Output: ``(B, T, H, W, 3)`` float32 in [-1, 1].
 
+    ``streams > 1`` treats the batch axis as ``streams`` equal contiguous
+    groups and min-max normalises each group's time slabs independently.
+    The reference calls ``video_to_flow`` separately per video stream
+    (gt then predicted mask, models/mygannet.py:281-282), so each stream is
+    contrast-stretched on its own before Farneback; callers that batch both
+    streams into one flow call for throughput must pass ``streams=2`` to
+    keep that per-stream normalisation (a joint min-max lets the binary gt
+    slab pin the range and the sigmoid prediction is never stretched).
+
     ``scale < 1`` computes flow at reduced resolution and upsamples the
     encoded RGB — a perf knob (the warp gather dominates flow cost and
     shrinks quadratically).  The HSV encoding is invariant to uniform flow
@@ -318,10 +327,14 @@ def video_to_flow_rgb(video, scale: float = 1.0):
     this only smooths fine motion detail.  Default 1.0 = full fidelity.
     """
     b, t, h, w, _ = video.shape
-    # per-frame-index normalisation over (B, H, W, C) — the reference
-    # normalises each time slab of the *batch* jointly (lib/utils.py:96).
-    norm = jnp.moveaxis(
-        jax.vmap(minmax_normalize)(jnp.moveaxis(video, 1, 0)), 0, 1)
+    # per-frame-index normalisation over (B/streams, H, W, C) per stream —
+    # the reference normalises each time slab of one video stream's batch
+    # jointly (lib/utils.py:96), one call per stream.
+    assert b % streams == 0, (b, streams)
+    grouped = video.reshape(streams, b // streams, t, h, w, 3)
+    slabs = jnp.moveaxis(grouped, 2, 1)          # (streams, T, B/s, H, W, C)
+    norm = jax.vmap(jax.vmap(minmax_normalize))(slabs)
+    norm = jnp.moveaxis(norm, 1, 2).reshape(b, t, h, w, 3)
     gray = (0.299 * norm[..., 0] + 0.587 * norm[..., 1]
             + 0.114 * norm[..., 2]) * 255.0
 

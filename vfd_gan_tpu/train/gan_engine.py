@@ -96,7 +96,8 @@ class MyGanEngine(EngineBase):
             from vfd_gan_tpu.train.host_flow import video_to_flow_rgb_callback
             self._flow = video_to_flow_rgb_callback
         else:
-            self._flow = lambda v: video_to_flow_rgb(v, scale=cfg.flow_scale)
+            self._flow = lambda v, streams=1: video_to_flow_rgb(
+                v, scale=cfg.flow_scale, streams=streams)
 
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
@@ -152,8 +153,10 @@ class MyGanEngine(EngineBase):
         pred_sg = jax.lax.stop_gradient(pred)
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred_sg)
-        # one batched flow computation for both videos
-        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
+        # one batched flow computation for both videos; streams=2 keeps the
+        # reference's per-video contrast stretch (models/mygannet.py:281-282)
+        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0),
+                           streams=2)
         gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         # ---- D update ----
@@ -226,7 +229,8 @@ class MyGanEngine(EngineBase):
 
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred)
-        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0))
+        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0),
+                           streams=2)
         gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         real_out, fake_out, _ = self._disc_losses(

@@ -17,18 +17,27 @@ import jax
 import jax.numpy as jnp
 
 
-def host_video_to_flow_rgb(video: np.ndarray) -> np.ndarray:
-    """numpy RGB video ``(B, T, H, W, 3)`` in [-1, 1] -> flow RGB video."""
+def host_video_to_flow_rgb(video: np.ndarray, streams: int = 1) -> np.ndarray:
+    """numpy RGB video ``(B, T, H, W, 3)`` in [-1, 1] -> flow RGB video.
+
+    ``streams``: number of contiguous batch groups to min-max normalise
+    independently (the reference calls video_to_flow once per video stream,
+    models/mygannet.py:281-282 — see ops/flow.video_to_flow_rgb).
+    """
     import cv2
 
     video = np.asarray(video, np.float32)
     b, t, h, w, _ = video.shape
-    # per-time-slab min-max normalisation across the batch (lib/utils.py:96)
+    # per-time-slab min-max normalisation across one stream's batch
+    # (lib/utils.py:96)
+    assert b % streams == 0, (b, streams)
+    g = b // streams
     norm = np.empty_like(video)
-    for j in range(t):
-        slab = video[:, j]
-        lo, hi = slab.min(), slab.max()
-        norm[:, j] = (slab - lo) / (hi - lo + 1e-5)
+    for s in range(streams):
+        for j in range(t):
+            slab = video[s * g:(s + 1) * g, j]
+            lo, hi = slab.min(), slab.max()
+            norm[s * g:(s + 1) * g, j] = (slab - lo) / (hi - lo + 1e-5)
     gray = (norm[..., 0] * 0.299 + norm[..., 1] * 0.587
             + norm[..., 2] * 0.114) * 255.0
     gray = gray.astype(np.uint8)
@@ -50,9 +59,10 @@ def host_video_to_flow_rgb(video: np.ndarray) -> np.ndarray:
     return out * 2.0 - 1.0
 
 
-def video_to_flow_rgb_callback(video: jnp.ndarray) -> jnp.ndarray:
+def video_to_flow_rgb_callback(video: jnp.ndarray,
+                               streams: int = 1) -> jnp.ndarray:
     """jit-compatible wrapper: runs the cv2 path on host."""
     shape = jax.ShapeDtypeStruct(video.shape, jnp.float32)
     return jax.pure_callback(
-        lambda v: host_video_to_flow_rgb(np.asarray(v)), shape, video,
-        vmap_method="sequential")
+        lambda v: host_video_to_flow_rgb(np.asarray(v), streams), shape,
+        video, vmap_method="sequential")
