@@ -101,6 +101,47 @@ def test_evaluate_models_cli_gan_checkpoint(dataset, tmp_path):
     assert (out_dir / "pr_curve.png").exists()
 
 
+def test_evaluate_models_cli_mixed_pth_and_orbax(dataset, tmp_path,
+                                                 ref_modules):
+    """A model list mixing a reference ``.pth`` (substring dispatch,
+    test.py:115-144,163) with an Orbax checkpoint sweeps into ONE overlaid
+    figure — a reference user's checkpoints work unmodified."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+    from vfd_gan_tpu.train.checkpoints import save_checkpoint
+
+    root, _, test_list = dataset
+
+    # (a) a genuine reference-layout .pth: the reference AutoEncoder's
+    # state_dict saved the way lib/train_stcnn.py:136-140 does
+    torch.manual_seed(0)
+    ref_ae = ref_modules.stcnn.AutoEncoder()
+    pth = tmp_path / "c2plus1d_roc-0000_step0000.pth"
+    torch.save({"epoch": 0, "state_dict": ref_ae.state_dict()}, str(pth))
+
+    # (b) one of our Orbax checkpoints (ConvLSTM)
+    x = jnp.zeros((1, 16, 16, 16, 3), jnp.float32)
+    variables = jax.jit(ConvLSTMModel().init,
+                        static_argnums=2)(jax.random.key(0), x, False)
+    ckpt = tmp_path / "clstm_roc_ep0001"
+    save_checkpoint(str(ckpt), {
+        "state": {"params": variables["params"],
+                  "batch_stats": variables["batch_stats"]},
+        "step": 1})
+
+    model_list = tmp_path / "mixed_models.txt"
+    model_list.write_text(f"{pth}\n{ckpt}\n")
+    out_dir = tmp_path / "mixed_cmp"
+    results = eval_main(["--test_data_path", test_list,
+                         "--test_model_list_path", str(model_list),
+                         "--isize", "16", "--nfr", "16", "--batchsize", "1",
+                         "--result_path", str(out_dir)])
+    assert "(2+1)DCNN" in results and "ConvLSTM" in results
+    assert (out_dir / "roc_curve.png").exists()
+
+
 def test_frames_dump(dataset, tmp_path):
     root, _, _ = dataset
     out = tmp_path / "png"

@@ -52,32 +52,63 @@ def build_parser():
     return p
 
 
+# Reference path-substring dispatch table (test.py:115-144), in the
+# reference's if/elif order; "mygan" added as a synonym since this
+# framework's run dirs use the model name rather than "ganbase".
+_SUBSTRING_DISPATCH = (
+    ("ganbase", "mygan_generator", "Propose model[GAN]"),
+    ("mygan", "mygan_generator", "Propose model[GAN]"),
+    ("c2plus1d", "c2plus1d", "(2+1)DCNN"),
+    ("xception", "xception", "XceptionNet"),
+    ("clstm", "clstm", "ConvLSTM"),
+)
+
+
+def _build(kind):
+    if kind == "mygan_generator":
+        from vfd_gan_tpu.models.mygan import Generator
+        return Generator()
+    if kind == "c2plus1d":
+        from vfd_gan_tpu.models.stcnn import AutoEncoder
+        return AutoEncoder()
+    if kind == "xception":
+        from vfd_gan_tpu.models.xception3d import Xception3D
+        return Xception3D()
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+    return ConvLSTMModel()
+
+
 def _model_from_params(params):
-    """Structure-based dispatch fallback (covers --ae GAN checkpoints whose
+    """Structure-based dispatch for Orbax checkpoints (authoritative since
+    the parameter tree is already loaded; covers --ae GAN checkpoints whose
     generator is the AutoEncoder, models/mygannet.py:224-230)."""
     if "dconv1" in params and "uconv1" in params:
-        from vfd_gan_tpu.models.mygan import Generator
-        return Generator(), "Propose model[GAN]"
+        return _build("mygan_generator"), "Propose model[GAN]"
     if "down1" in params:
-        from vfd_gan_tpu.models.stcnn import AutoEncoder
-        return AutoEncoder(), "(2+1)DCNN"
+        return _build("c2plus1d"), "(2+1)DCNN"
     if "entry1" in params:
-        from vfd_gan_tpu.models.xception3d import Xception3D
-        return Xception3D(), "XceptionNet"
+        return _build("xception"), "XceptionNet"
     if "clstm1" in params:
-        from vfd_gan_tpu.models.convlstm import ConvLSTMModel
-        return ConvLSTMModel(), "ConvLSTM"
+        return _build("clstm"), "ConvLSTM"
     raise SystemExit("cannot infer model type from checkpoint structure")
 
 
 def load_model(ckpt_path: str, args):
     """Checkpoint restore + model dispatch.
 
-    Primary rule mirrors the reference's path-substring dispatch
-    (test.py:115-144); the parameter-tree structure is the tie-breaker so
-    e.g. an ``--ae`` MyGAN run (AutoEncoder generator under a mygan run
-    dir) still loads correctly.
+    The model list may freely mix this framework's Orbax run directories
+    and reference ``.pth`` files (test.py:163).  ``.pth`` paths use the
+    reference's path-substring dispatch (test.py:115-144) routed through
+    ``torch_compat.load_pth`` (``module.`` DataParallel prefixes handled);
+    Orbax checkpoints dispatch on parameter-tree structure, which also
+    resolves ``--ae`` runs stored under a mygan run dir.
     """
+    if ckpt_path.endswith((".pth", ".pt")):
+        from vfd_gan_tpu.utils.torch_compat import load_pth
+        for sub, kind, name in _SUBSTRING_DISPATCH:
+            if sub in ckpt_path:
+                return _build(kind), load_pth(ckpt_path, kind), name
+        raise SystemExit("Weight path not found.")   # reference: test.py:134
     tree = restore_checkpoint(ckpt_path)
     # engines save either {"netG": state, ...} (GANs) or {"state": ...}
     net = tree.get("netG", tree.get("state"))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from vfd_gan_tpu.data.video_io import count_frames, read_clip, write_video
 from vfd_gan_tpu.ops.image import threshold
-from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.ops.morphology import video_open
 
 
 def build_parser():
@@ -41,6 +41,8 @@ def build_parser():
                    help="treat --ckpt as a reference .pth file")
     p.add_argument("--out", required=True)
     p.add_argument("--isize", type=int, default=128)
+    p.add_argument("--morph_plane", choices=("th", "hw"), default="th",
+                   help="opening plane: th = reference cv2 quirk (PARITY.md), hw = per-frame")
     p.add_argument("--nfr", type=int, default=16)
     return p
 
@@ -76,7 +78,8 @@ def main(argv=None) -> None:
     print(f"model: {name}")
 
     apply_fn = jax.jit(lambda v, x: model.apply(v, x, False))
-    post_fn = jax.jit(lambda p: morphology_open(threshold(p)))
+    post_fn = jax.jit(
+        lambda p: video_open(threshold(p), args.morph_plane))
 
     n_frames = count_frames(args.video)
     n_clips = n_frames // args.nfr

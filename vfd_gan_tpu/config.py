@@ -69,10 +69,17 @@ class Config:
     compute_dtype: str = "bfloat16"
     # PRNG seed for init/augmentation/dropout/z-sampling.
     seed: int = 0
-    # Whether BatchNorm batch statistics are synchronised across the DP mesh.
-    # The reference's DataParallel used per-replica statistics; cross-replica
-    # sync is the idiomatic (and stronger) TPU behaviour (SURVEY.md §2.3).
-    sync_bn: bool = True
+    # NOTE: BatchNorm batch statistics are always synchronised across the DP
+    # mesh (global-batch stats under GSPMD jit).  The reference's
+    # DataParallel computed per-replica statistics; the cross-replica sync
+    # is a deliberate, documented divergence (PARITY.md, SURVEY.md §2.3) —
+    # there is intentionally no flag pretending otherwise.
+    #
+    # Morphological-opening plane for scored/visualised masks:
+    # "th" replicates the reference's accidental (T, H)-plane opening
+    # (cv2 reads its (T, H, W) input as a T-row x H-col x W-channel image,
+    # lib/utils.py:139-147); "hw" is the intended per-frame opening.
+    morph_plane: str = "th"
     # Host->device prefetch depth for the input pipeline.
     prefetch: int = 2
     # Emit a TensorBoard event file (scalars + video grids).
@@ -101,6 +108,8 @@ class Config:
             raise ValueError("isize and nfr must be multiples of 8")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError("compute_dtype must be bfloat16 or float32")
+        if self.morph_plane not in ("th", "hw"):
+            raise ValueError("morph_plane must be 'th' or 'hw'")
         return self
 
     def to_json(self) -> str:
@@ -122,8 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         flag = f"--{f.name}"
         if f.type == "bool" or isinstance(getattr(defaults, f.name), bool):
+            # BooleanOptionalAction so True-default flags are disable-able
+            # (--no-tensorboard); plain store_true could never turn them off.
             p.add_argument(flag, default=getattr(defaults, f.name),
-                           action="store_true")
+                           action=argparse.BooleanOptionalAction)
         else:
             p.add_argument(flag, default=getattr(defaults, f.name),
                            type=type(getattr(defaults, f.name)))

@@ -20,7 +20,7 @@ from vfd_gan_tpu.ops.image import (
     to_channel_first,
     to_channel_last,
 )
-from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.ops.morphology import morphology_open, video_open
 
 __all__ = [
     "bce",
@@ -34,4 +34,5 @@ __all__ = [
     "to_channel_first",
     "to_channel_last",
     "morphology_open",
+    "video_open",
 ]

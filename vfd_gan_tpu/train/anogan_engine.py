@@ -24,7 +24,7 @@ from vfd_gan_tpu.models.anogan import AnoDiscriminator, AnoGenerator, Z_DIM
 from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
 from vfd_gan_tpu.ops.image import minmax_normalize, rgb_to_gray, threshold
 from vfd_gan_tpu.ops.losses import bce
-from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase
@@ -126,7 +126,7 @@ class AnoGanEngine(EngineBase):
 
         pred = predict_forgery(fake_sg, real)
         t_pre = threshold(pred)
-        m_pre = morphology_open(t_pre)
+        m_pre = video_open(t_pre, self.cfg.morph_plane)
         metrics = {"d/err_d/train": d_loss, "g/err_g/train": g_loss}
         viz = {"input": data, "real": real, "gen": fake_sg, "gt": gt,
                "pred": pred, "t_pre": t_pre, "m_pre": m_pre}
@@ -146,7 +146,7 @@ class AnoGanEngine(EngineBase):
 
         pred = predict_forgery(fake, real)
         t_pre = threshold(pred)
-        m_pre = morphology_open(t_pre)
+        m_pre = video_open(t_pre, self.cfg.morph_plane)
         metrics = {
             "d/err_d/test": bce(s_real, ones) + bce(s_fake, zeros),
             "g/err_g/test": bce(s_fake, ones),

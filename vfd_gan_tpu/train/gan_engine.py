@@ -40,7 +40,7 @@ from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
 from vfd_gan_tpu.ops.flow import video_to_flow_rgb
 from vfd_gan_tpu.ops.image import gray2rgb, threshold
 from vfd_gan_tpu.ops.losses import bce, l2_loss, weighted_bce
-from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase
@@ -210,7 +210,7 @@ class MyGanEngine(EngineBase):
         })
 
         t_pre = threshold(pred_sg)
-        m_pre = morphology_open(t_pre)
+        m_pre = video_open(t_pre, self.cfg.morph_plane)
         viz = {"input": data, "real": real, "gt": gt, "pred": pred_sg,
                "t_pre": t_pre, "m_pre": m_pre, "gt_flow": gt_flow,
                "pre_flow": pre_flow}
@@ -225,7 +225,7 @@ class MyGanEngine(EngineBase):
 
         pred = self.netg.apply(g_state.variables(), data, False)
         t_pre = threshold(pred)
-        m_pre = morphology_open(t_pre)
+        m_pre = video_open(t_pre, self.cfg.morph_plane)
 
         gt_3ch = gray2rgb(gt)
         pre_3ch = gray2rgb(pred)

@@ -23,7 +23,7 @@ from vfd_gan_tpu.models import build_mask_model
 from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
 from vfd_gan_tpu.ops.image import threshold
 from vfd_gan_tpu.ops.losses import bce
-from vfd_gan_tpu.ops.morphology import morphology_open
+from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase
@@ -81,7 +81,7 @@ class SupervisedEngine(EngineBase):
         state = state.apply_grads(self.tx, grads, new_stats)
 
         t_pre = threshold(pred)
-        m_pre = morphology_open(t_pre)
+        m_pre = video_open(t_pre, self.cfg.morph_plane)
         viz = {"data": data, "real": real, "gt": gt, "pred": pred,
                "t_pre": t_pre, "m_pre": m_pre}
         return state, loss, viz
@@ -90,7 +90,7 @@ class SupervisedEngine(EngineBase):
         data, real, gt = normalize_clips(batch["data"], batch["real"],
                                          batch["mask"])
         pred = self.model.apply(state.variables(), data, False)
-        m_pre = morphology_open(threshold(pred))
+        m_pre = video_open(threshold(pred), self.cfg.morph_plane)
         return bce(pred, gt), gt, pred, m_pre, data, real
 
     # -- loops -------------------------------------------------------------

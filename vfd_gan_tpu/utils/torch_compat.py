@@ -332,9 +332,16 @@ CONVERTERS = {
 }
 
 
-def load_pth(path: str, kind: str) -> dict:
-    """Load a reference ``.pth`` checkpoint into our variables tree."""
+def load_pth(path: str, kind: str, *, trust_pickle: bool = False) -> dict:
+    """Load a reference ``.pth`` checkpoint into our variables tree.
+
+    Reference checkpoints are plain ``{'epoch', 'state_dict'}`` tensor dicts
+    (lib/train_gan.py:52-57), loadable with ``weights_only=True`` — the safe
+    default for untrusted external artifacts.  ``trust_pickle=True`` opts in
+    to full pickle loading for exotic checkpoints.
+    """
     import torch
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    blob = torch.load(path, map_location="cpu",
+                      weights_only=not trust_pickle)
     sd = blob.get("state_dict", blob)
     return CONVERTERS[kind](sd)
