@@ -91,6 +91,9 @@ class Config:
     # steps (0 = off).  The reference loses the epoch on a crash
     # (SURVEY.md §5 failure detection).
     autosave_every: int = 0
+    # Stop after N optimiser steps regardless of epochs (0 = unlimited).
+    # Pairs with autosave/resume for preemption-safe scheduled training.
+    max_steps: int = 0
     # Optical-flow resolution scale for the GAN step (1.0 = full fidelity;
     # e.g. 0.5 computes flow at half resolution and upsamples the encoded
     # RGB — see ops/flow.py).

@@ -110,6 +110,12 @@ class ClipBatchIterator:
     in a background thread (cv2 releases the GIL) so host IO overlaps with
     device compute; batches are (B, nfr, S, S, C) uint8 stacks ready for the
     on-device augmentation kernel.
+
+    Exact-resume design (beyond the reference, which kept an opaque RNG):
+    the shuffle order is a pure function of ``(seed, epoch)``, so iterator
+    state is just two ints — ``epoch`` (which pass is next) and
+    ``skip_batches`` (how far into that pass to fast-forward).  Engines
+    checkpoint both and restore a bit-identical data stream.
     """
 
     def __init__(self, dataset: MdfVideoDataset, batch_size: int,
@@ -120,7 +126,9 @@ class ClipBatchIterator:
         self.shuffle = shuffle
         self.prefetch = max(1, prefetch)
         self.workers = max(1, workers)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0          # index of the next pass (shuffle-order key)
+        self.skip_batches = 0   # fast-forward within the next pass (resume)
         self._pool = None
 
     def __len__(self) -> int:
@@ -144,9 +152,12 @@ class ClipBatchIterator:
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         n_batches = len(self)
+        start = min(self.skip_batches, n_batches)
+        self.skip_batches = 0
         if n_batches == 0:
+            self.epoch += 1
             return
         # decode->train hand-off through the native SPSC ring when built
         # (native/vfd_host.cpp); queue.Queue fallback otherwise
@@ -154,7 +165,7 @@ class ClipBatchIterator:
         stop = threading.Event()
 
         def producer():
-            for b in range(n_batches):
+            for b in range(start, n_batches):
                 if stop.is_set():
                     return
                 idx = order[b * self.batch_size:(b + 1) * self.batch_size]
@@ -172,6 +183,7 @@ class ClipBatchIterator:
             while True:
                 item = q.get()
                 if item is None:
+                    self.epoch += 1  # completed pass -> next shuffle order
                     return
                 if isinstance(item, Exception):
                     raise item

@@ -26,7 +26,7 @@ from vfd_gan_tpu.ops.image import minmax_normalize, rgb_to_gray, threshold
 from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
-from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase
 from vfd_gan_tpu.train.state import NetState, make_adam
 
@@ -69,10 +69,10 @@ class AnoGanEngine(EngineBase):
             init_states, out_shardings=replicated(self.mesh))(init_key)
 
         if cfg.resume:
-            restored = restore_checkpoint(cfg.resume, self._ckpt_tree())
+            restored = self.restore_into(
+                cfg.resume, {"netG": self.g_state, "netD": self.d_state})
             self.g_state = jax.device_put(restored["netG"], replicated(self.mesh))
             self.d_state = jax.device_put(restored["netD"], replicated(self.mesh))
-            self.global_step = int(restored["step"])
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -199,7 +199,7 @@ class AnoGanEngine(EngineBase):
 
     def _ckpt_tree(self):
         return {"netG": self.g_state, "netD": self.d_state,
-                "step": self.global_step}
+                "step": self.global_step, "loop": self._loop_state()}
 
     def _save_weights(self, head: str) -> None:
         save_checkpoint(self.weight_path(f"{head}_ep{self.epoch:04d}"),

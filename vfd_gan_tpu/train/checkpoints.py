@@ -4,8 +4,10 @@ The reference saves ``{head}_ep{epoch:04d}_netG.pth`` / ``_netD.pth`` pairs
 on ROC/PR improvement (lib/train_gan.py:52-57) and
 ``{head}-{score:04d}_step{step:04d}.pth`` for supervised models
 (lib/train_stcnn.py:136-140).  We keep the trigger and naming shape but
-store *full* train state (params, BN stats, optimiser state, step, RNG key
-data) via Orbax — resume restarts exactly, unlike the reference which
+store *full* train state via Orbax: params, BN stats, optimiser state, step,
+plus a ``loop`` sub-tree (engine RNG key data, epoch/batch cursor, iterator
+pass counters, best-metric trackers — see ``EngineBase._loop_state``).
+Resume is bit-exact (tests/test_exact_resume.py), unlike the reference which
 dropped Adam moments and RNG (SURVEY.md §5).
 """
 

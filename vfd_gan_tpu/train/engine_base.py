@@ -35,6 +35,7 @@ class EngineBase:
 
         self.global_step = 0
         self.epoch = 0
+        self.batch_in_epoch = 0
         self.best_roc = 0.0
         self.best_pr = 0.0
         self.timer = StepTimer()
@@ -61,10 +62,15 @@ class EngineBase:
 
         cfg = self.cfg
         print(f" >> Training model {cfg.model}.")
-        for self.epoch in range(cfg.ep):
+        for self.epoch in range(self.epoch, cfg.ep):
+            if hasattr(self.train_iter, "epoch"):
+                # deterministic pass order + mid-epoch fast-forward (resume)
+                self.train_iter.epoch = self.epoch
+                self.train_iter.skip_batches = self.batch_in_epoch
             for sharded in device_prefetch(self.train_iter, self.mesh,
                                            depth=max(1, cfg.prefetch)):
                 self.global_step += 1
+                self.batch_in_epoch += 1
                 self.key, step_key = jax.random.split(self.key)
                 metrics, viz = self._do_train_step(sharded, step_key)
                 self.timer.tick()
@@ -82,7 +88,60 @@ class EngineBase:
                         self.global_step % cfg.autosave_every == 0:
                     save_checkpoint(self.weight_path("latest"),
                                     self._ckpt_tree())
+
+                if cfg.max_steps and self.global_step >= cfg.max_steps:
+                    print(f" >> Training model {cfg.model}."
+                          f"[Stopped at max_steps={cfg.max_steps}]")
+                    return
+            self.batch_in_epoch = 0
         print(f" >> Training model {cfg.model}.[Done]")
+
+    # -- exact-resume loop state --------------------------------------------
+    def _loop_state(self) -> dict:
+        """Everything beyond net/optimiser state needed for bit-exact resume
+        (VERDICT.md round-1 Missing #4): engine RNG key, epoch/batch cursor,
+        iterator pass counters, and the best-metric trackers that gate the
+        if-roc-elif-pr checkpoint rule."""
+        import jax
+        import numpy as np
+        return {
+            "epoch": self.epoch,
+            "batch_in_epoch": self.batch_in_epoch,
+            "key_data": np.asarray(jax.random.key_data(self.key)),
+            "train_iter_epoch": getattr(self.train_iter, "epoch", 0),
+            "test_iter_epoch": getattr(self.test_iter, "epoch", 0),
+            "best_roc": self.best_roc,
+            "best_pr": self.best_pr,
+        }
+
+    def _apply_loop_state(self, loop: dict) -> None:
+        import jax
+        self.epoch = int(loop["epoch"])
+        self.batch_in_epoch = int(loop["batch_in_epoch"])
+        self.key = jax.random.wrap_key_data(loop["key_data"])
+        if hasattr(self.train_iter, "epoch"):
+            self.train_iter.epoch = int(loop["train_iter_epoch"])
+        if hasattr(self.test_iter, "epoch"):
+            self.test_iter.epoch = int(loop["test_iter_epoch"])
+        self.best_roc = float(loop["best_roc"])
+        self.best_pr = float(loop["best_pr"])
+
+    def restore_into(self, path: str, nets: dict) -> dict:
+        """Restore ``nets`` (name -> NetState) + step + loop state from a
+        checkpoint, tolerating round-1 checkpoints that predate the ``loop``
+        sub-tree.  Returns the restored net states by name."""
+        from vfd_gan_tpu.train.checkpoints import restore_checkpoint
+        target = {**nets, "step": self.global_step,
+                  "loop": self._loop_state()}
+        try:
+            restored = restore_checkpoint(path, target)
+        except Exception:  # legacy checkpoint without loop state
+            target.pop("loop")
+            restored = restore_checkpoint(path, target)
+        self.global_step = int(restored["step"])
+        if "loop" in restored:
+            self._apply_loop_state(restored["loop"])
+        return restored
 
     # -- metrics + best-checkpoint rule ------------------------------------
     def score_and_checkpoint(self, gts: np.ndarray, predicts: np.ndarray,

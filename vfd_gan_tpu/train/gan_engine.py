@@ -42,7 +42,7 @@ from vfd_gan_tpu.ops.image import gray2rgb, threshold
 from vfd_gan_tpu.ops.losses import bce, l2_loss, weighted_bce
 from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
-from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase
 from vfd_gan_tpu.train.state import NetState, make_adam
 
@@ -83,12 +83,12 @@ class MyGanEngine(EngineBase):
             init_states, out_shardings=repl)(init_key)
 
         if cfg.resume:
-            restored = restore_checkpoint(cfg.resume, self._ckpt_tree())
+            restored = self.restore_into(
+                cfg.resume, {"netG": self.g_state, "netD": self.d_state})
             self.g_state = jax.device_put(restored["netG"],
                                           replicated(self.mesh))
             self.d_state = jax.device_put(restored["netD"],
                                           replicated(self.mesh))
-            self.global_step = int(restored["step"])
             print(f"\n Loaded pretrained G/D weights from {cfg.resume}\n")
 
         # parity-audit escape hatch: genuine cv2 flow on host (SURVEY.md §7)
@@ -327,7 +327,7 @@ class MyGanEngine(EngineBase):
     # ------------------------------------------------------------------
     def _ckpt_tree(self):
         return {"netG": self.g_state, "netD": self.d_state,
-                "step": self.global_step}
+                "step": self.global_step, "loop": self._loop_state()}
 
     def _save_weights(self, head: str) -> None:
         name = f"{head}_ep{self.epoch:04d}"

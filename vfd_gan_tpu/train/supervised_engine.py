@@ -25,7 +25,7 @@ from vfd_gan_tpu.ops.image import threshold
 from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
-from vfd_gan_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase
 from vfd_gan_tpu.train.state import NetState, make_adam
 
@@ -52,11 +52,9 @@ class SupervisedEngine(EngineBase):
                              out_shardings=replicated(self.mesh))(init_key)
 
         if cfg.resume:
-            restored = restore_checkpoint(
-                cfg.resume, {"state": self.state, "step": self.global_step})
+            restored = self.restore_into(cfg.resume, {"state": self.state})
             self.state = jax.device_put(restored["state"],
                                         replicated(self.mesh))
-            self.global_step = int(restored["step"])
             print(f"\n Loaded pretrained weights from {cfg.resume}\n")
 
         self._train_step = jax.jit(self._train_step_impl,
@@ -129,7 +127,8 @@ class SupervisedEngine(EngineBase):
         return roc, pr, f1
 
     def _ckpt_tree(self):
-        return {"state": self.state, "step": self.global_step}
+        return {"state": self.state, "step": self.global_step,
+                "loop": self._loop_state()}
 
     def _save_weights(self, head: str) -> None:
         name = f"{head}-{self.best_roc if head == 'roc' else self.best_pr:.4f}" \
