@@ -85,6 +85,22 @@ def main() -> None:
     clips_per_sec = BATCH * STEPS / elapsed
     per_chip = clips_per_sec / max(1, n_chips)
 
+    # Approximate MFU: XLA's analytic FLOP count for the fused step over the
+    # device's peak (so rounds optimise against the hardware ceiling, not the
+    # 1-thread-CPU multiplier — VERDICT.md round-1 item 10).
+    mfu, flops_per_step = 0.0, 0.0
+    try:
+        cost = engine._train_step.lower(
+            g, d, sharded, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+        peak = _peak_flops(jax.devices()[0])
+        if flops_per_step > 0 and peak > 0:
+            mfu = flops_per_step / (elapsed / STEPS) / peak
+    except Exception:
+        pass
+
     vs_baseline = 0.0
     base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
@@ -100,8 +116,26 @@ def main() -> None:
         "value": round(per_chip, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
+        "mfu": round(mfu, 5),
+        "flops_per_step": flops_per_step,
     }))
     engine.close()
+
+
+def _peak_flops(device) -> float:
+    """Peak dense bf16 FLOP/s by device kind (public spec sheets); 0 when
+    unknown so MFU degrades to unreported rather than wrong."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+        "v4": 275e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v6e": 918e12, "v6 lite": 918e12, "trillium": 918e12,
+    }
+    for name, peak in table.items():
+        if name in kind:
+            return peak
+    return 0.0
 
 
 if __name__ == "__main__":

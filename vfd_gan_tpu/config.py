@@ -109,6 +109,12 @@ class Config:
             # The U-Net/AnoGAN topologies halve T/H/W several times
             # (reference shape walk: models/mygannet.py:55-99, anogan.py:39-79).
             raise ValueError("isize and nfr must be multiples of 8")
+        if self.model == "mygan" and (self.isize < 64 or self.nfr < 16):
+            # SpatialDisc halves H/W six times (models/mygannet.py:119-162)
+            # and the U-Net halves T four times (models/mygannet.py:55-68);
+            # anything smaller reaches zero size mid-network.
+            raise ValueError("model 'mygan' needs isize >= 64 and nfr >= 16 "
+                             "(64x spatial / 16x temporal downsampling)")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError("compute_dtype must be bfloat16 or float32")
         if self.morph_plane not in ("th", "hw"):

@@ -27,7 +27,7 @@ from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
-from vfd_gan_tpu.train.engine_base import EngineBase
+from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
 
 
@@ -169,22 +169,16 @@ class AnoGanEngine(EngineBase):
             [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
     def test(self) -> tuple[float, float, float]:
-        gts, predicts = [], []
-        sums: dict[str, float] = {}
-        n = 0
+        sweep = SweepAccumulator()
         for batch in self.test_iter:
             self.key, step_key = jax.random.split(self.key)
             sharded = shard_batch(self.mesh, batch)
             gt, pred, metrics, viz = self._eval_step(self.g_state,
                                                      self.d_state, sharded,
                                                      step_key)
-            gts.append(np.asarray(gt))
             # raw heat-map scored, not the morphologised mask
             # (anogan.py:184-185)
-            predicts.append(np.asarray(pred))
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
+            sweep.add(gt, pred, metrics)
             d = {k: np.asarray(v) for k, v in viz.items()}
             self.color_videos["test/input-real-gen"] = np.concatenate(
                 [d["input"], d["real"], d["gen"]], axis=2)
@@ -192,9 +186,8 @@ class AnoGanEngine(EngineBase):
                 [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
         roc, pr, f1 = self.score_and_checkpoint(
-            np.stack(gts), np.stack(predicts), self._save_weights)
-        if n:
-            self.errors.update({k: v / n for k, v in sums.items()})
+            sweep.gts, sweep.preds, self._save_weights)
+        self.errors.update(sweep.mean_metrics())
         return roc, pr, f1
 
     def _ckpt_tree(self):

@@ -20,6 +20,36 @@ from vfd_gan_tpu.obs.summary import SummaryLogger, make_run_dirs, run_comment
 from vfd_gan_tpu.parallel.mesh import auto_dp, make_mesh
 
 
+class SweepAccumulator:
+    """Per-batch accumulation over one periodic test sweep.
+
+    Collects ground-truth/score arrays for ROC/PR scoring plus running sums
+    of per-batch metric telemetry; shared by every engine (this logic was
+    previously triplicated across the GAN/AnoGAN/supervised sweeps).
+    ``stacked()`` is only valid when ``n > 0`` — engines route through
+    ``EngineBase.score_and_checkpoint``, which handles the empty case.
+    """
+
+    def __init__(self):
+        self.gts: list[np.ndarray] = []
+        self.preds: list[np.ndarray] = []
+        self._sums: dict[str, float] = {}
+        self.n = 0
+
+    def add(self, gt, pred, metrics=None) -> None:
+        self.gts.append(np.asarray(gt))
+        self.preds.append(np.asarray(pred))
+        for k, v in (metrics or {}).items():
+            self._sums[k] = self._sums.get(k, 0.0) + float(v)
+        self.n += 1
+
+    def stacked(self) -> tuple[np.ndarray, np.ndarray]:
+        return np.stack(self.gts), np.stack(self.preds)
+
+    def mean_metrics(self) -> dict[str, float]:
+        return {k: v / self.n for k, v in self._sums.items()} if self.n else {}
+
+
 class EngineBase:
     """Common state for all training engines."""
 
@@ -144,15 +174,36 @@ class EngineBase:
         return restored
 
     # -- metrics + best-checkpoint rule ------------------------------------
-    def score_and_checkpoint(self, gts: np.ndarray, predicts: np.ndarray,
+    def score_and_checkpoint(self, gts, predicts,
                              save_fn) -> tuple[float, float, float]:
         """Flatten, score ROC/PR/F1, update summary dicts, and trigger the
         reference's if-roc-elif-pr checkpoint rule.  ``save_fn(head)`` writes
-        the weights."""
+        the weights.
+
+        Degenerate sweeps are reported, not crashed on: an empty test split
+        scores NaN across the board (and saves nothing); single-class labels
+        fall through to sklearn's NaN ROC with the same no-save outcome.
+        """
+        if len(gts) == 0:
+            print(" >> test sweep produced no batches "
+                  "(empty/short test split); scores are NaN")
+            nan = float("nan")
+            self.scores.update({"score/roc": nan, "score/pr": nan,
+                                "score/f1": nan})
+            return nan, nan, nan
         # The reference casts GT to int32 — truncation binarises fractional
         # (resized) mask edges to 0 (models/mygannet.py:444).
         labels = np.asarray(gts, dtype=np.int32).ravel()
         preds = np.asarray(predicts).ravel()
+        if (labels == labels.flat[0]).all():
+            # Single-class sweep: ROC undefined, PR degenerate — don't let a
+            # meaningless value win the best-checkpoint rule.
+            print(" >> test labels are single-class; ROC/PR are undefined "
+                  "(scores NaN, no checkpoint)")
+            nan = float("nan")
+            self.scores.update({"score/roc": nan, "score/pr": nan,
+                                "score/f1": nan})
+            return nan, nan, nan
         roc = evaluate(labels, preds, self.best_roc, self.epoch,
                        self.dirs.root, metric="roc")
         pr = evaluate(labels, preds, self.best_pr, self.epoch,

@@ -43,7 +43,7 @@ from vfd_gan_tpu.ops.losses import bce, l2_loss, weighted_bce
 from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
-from vfd_gan_tpu.train.engine_base import EngineBase
+from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
 
 
@@ -128,10 +128,22 @@ class MyGanEngine(EngineBase):
 
     def _train_step_impl(self, g_state: NetState, d_state: NetState, batch,
                          key):
-        cfg = self.cfg
         aug_key, drop_key = jax.random.split(key)
         data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
-                                       batch["mask"], cfg.isize)
+                                       batch["mask"], self.cfg.isize)
+        g_state, d_state, metrics, viz = self._gan_core(
+            g_state, d_state, data, gt, drop_key)
+        viz.update({"input": data, "real": real})
+        return g_state, d_state, metrics, viz
+
+    def _gan_core(self, g_state: NetState, d_state: NetState, data, gt,
+                  drop_key):
+        """The fused GAN step proper, on already-augmented inputs — the exact
+        semantics of the reference's ``optimize_params``
+        (models/mygannet.py:350-367: G forward, flows, two D passes, G then D
+        backward+Adam).  Split from augmentation so the golden parity test
+        (tests/test_gan_step_parity.py) can drive it on fixed inputs."""
+        cfg = self.cfg
         ones = jnp.ones((data.shape[0],), jnp.float32)
         zeros = jnp.zeros((data.shape[0],), jnp.float32)
 
@@ -211,9 +223,8 @@ class MyGanEngine(EngineBase):
 
         t_pre = threshold(pred_sg)
         m_pre = video_open(t_pre, self.cfg.morph_plane)
-        viz = {"input": data, "real": real, "gt": gt, "pred": pred_sg,
-               "t_pre": t_pre, "m_pre": m_pre, "gt_flow": gt_flow,
-               "pre_flow": pre_flow}
+        viz = {"gt": gt, "pred": pred_sg, "t_pre": t_pre, "m_pre": m_pre,
+               "gt_flow": gt_flow, "pre_flow": pre_flow}
         return g_state, d_state, metrics, viz
 
     def _eval_step_impl(self, g_state: NetState, d_state: NetState, batch):
@@ -283,18 +294,12 @@ class MyGanEngine(EngineBase):
                            for k in ("input", "gt", "pred", "t_pre", "m_pre")})
 
     def test(self) -> tuple[float, float, float]:
-        gts, predicts = [], []
-        sums: dict[str, float] = {}
-        n = 0
+        sweep = SweepAccumulator()
         for batch in self.test_iter:
             sharded = shard_batch(self.mesh, batch)
             gt, m_pre, metrics, viz = self._eval_step(self.g_state,
                                                       self.d_state, sharded)
-            gts.append(np.asarray(gt))
-            predicts.append(np.asarray(m_pre))
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
+            sweep.add(gt, m_pre, metrics)
             d = {k: np.asarray(v) for k, v in viz.items()}
             self.color_videos["test/input-real"] = np.concatenate(
                 [d["input"], d["real"]], axis=2)
@@ -302,9 +307,8 @@ class MyGanEngine(EngineBase):
                 [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
         roc, pr, f1 = self.score_and_checkpoint(
-            np.stack(gts), np.stack(predicts), self._save_weights)
-        if n:
-            self.errors.update({k: v / n for k, v in sums.items()})
+            sweep.gts, sweep.preds, self._save_weights)
+        self.errors.update(sweep.mean_metrics())
         return roc, pr, f1
 
     # ------------------------------------------------------------------

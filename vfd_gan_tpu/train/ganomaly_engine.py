@@ -161,6 +161,11 @@ class GanomalyEngine(EngineBase):
             scores, _ = self._eval_step(self.g_state, sharded)
             all_scores.append(np.asarray(scores).ravel())
             all_labels.append(np.asarray(batch["label"]).ravel())
+        if not all_scores:
+            print(" >> test sweep produced no batches "
+                  "(empty/short test split); scores are NaN")
+            self.scores["score/roc"] = float("nan")
+            return float("nan")
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)
         lo, hi = scores.min(), scores.max()

@@ -26,7 +26,7 @@ from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
 from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
-from vfd_gan_tpu.train.engine_base import EngineBase
+from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
 
 
@@ -105,16 +105,14 @@ class SupervisedEngine(EngineBase):
             [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
     def test(self) -> tuple[float, float, float]:
-        gts, predicts, errs = [], [], []
+        sweep = SweepAccumulator()
         for batch in self.test_iter:
             sharded = shard_batch(self.mesh, batch)
             err, gt, pred, m_pre, data, real = self._eval_step(self.state,
                                                                sharded)
-            errs.append(float(err))
-            gts.append(np.asarray(gt))
             # scored prediction = morphology-opened binary mask
             # (lib/train_stcnn.py:158-162)
-            predicts.append(np.asarray(m_pre))
+            sweep.add(gt, m_pre, {"loss/err/test": err})
             self.color_videos["test/input-real"] = np.concatenate(
                 [np.asarray(data), np.asarray(real)], axis=2)
             self.gray_videos["test/mask-pre-th-mor"] = np.concatenate(
@@ -122,8 +120,8 @@ class SupervisedEngine(EngineBase):
                  np.asarray(m_pre)], axis=2)
 
         roc, pr, f1 = self.score_and_checkpoint(
-            np.stack(gts), np.stack(predicts), self._save_weights)
-        self.errors["loss/err/test"] = float(np.mean(errs)) if errs else 0.0
+            sweep.gts, sweep.preds, self._save_weights)
+        self.errors.update(sweep.mean_metrics())
         return roc, pr, f1
 
     def _ckpt_tree(self):
