@@ -25,8 +25,8 @@ import time
 
 import numpy as np
 
-STEPS = 10
-BATCH = 4
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
 NFR = 16
 ISIZE = 128
 

@@ -1,0 +1,51 @@
+"""Pallas bilinear-warp kernel vs the XLA gather path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vfd_gan_tpu.ops.flow import _bilinear_warp
+from vfd_gan_tpu.ops.pallas.warp import bilinear_warp_pallas
+
+rng = np.random.default_rng(17)
+
+
+def _case(n, h, w, c, scale):
+    fields = rng.normal(size=(n, h, w, c)).astype(np.float32)
+    fx = (rng.normal(size=(n, h, w)) * scale).astype(np.float32)
+    fy = (rng.normal(size=(n, h, w)) * scale).astype(np.float32)
+    return jnp.asarray(fields), jnp.asarray(fx), jnp.asarray(fy)
+
+
+def test_warp_matches_xla_gather_small_flow():
+    fields, fx, fy = _case(2, 32, 32, 5, scale=1.5)
+    want = _bilinear_warp(fields, fx, fy, use_pallas=False)
+    got = bilinear_warp_pallas(fields, fx, fy, interpret=True)
+    # bf16 two-hot weights: |err| <~ 2^-8 * |field local variation|
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_warp_matches_xla_gather_large_flow_and_clamping():
+    # displacements far beyond the image bounds exercise the clamp path
+    fields, fx, fy = _case(1, 16, 48, 3, scale=30.0)
+    want = _bilinear_warp(fields, fx, fy, use_pallas=False)
+    got = bilinear_warp_pallas(fields, fx, fy, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_warp_nonpow2_height_and_odd_block():
+    # H = 24 pads the select tree to 32 and picks a non-16 row block
+    fields, fx, fy = _case(1, 24, 40, 5, scale=3.0)
+    want = _bilinear_warp(fields, fx, fy, use_pallas=False)
+    got = bilinear_warp_pallas(fields, fx, fy, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_warp_integer_flow_is_near_exact():
+    # integer displacements make the two-hot weights exactly {0, 1}; the
+    # matmul then moves exact field values (bf16 rounding of 0/1 is exact)
+    fields = jnp.asarray(rng.normal(size=(1, 16, 16, 2)).astype(np.float32))
+    fx = jnp.full((1, 16, 16), 3.0, jnp.float32)
+    fy = jnp.full((1, 16, 16), -2.0, jnp.float32)
+    want = _bilinear_warp(fields, fx, fy, use_pallas=False)
+    got = bilinear_warp_pallas(fields, fx, fy, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)

@@ -144,16 +144,26 @@ def poly_expansion(img, n: int = 5, sigma: float = 1.2):
 # Flow estimation
 # --------------------------------------------------------------------------
 
-def _bilinear_warp(fields, flow_x, flow_y):
+def _bilinear_warp(fields, flow_x, flow_y, use_pallas: bool | None = None):
     """Sample ``fields`` (N, H, W, C) at (x + flow_x, y + flow_y), clamped.
 
-    One fused gather covers all C channels (the 5 poly-coefficient maps).
-    Measured alternatives that did NOT help (see BENCH_NOTES.md): warping a
-    single channel and re-expanding (gather cost is per position), packing
-    the four bilinear corners into 4C channels for a single gather
-    (XLA already amortises the four corner fetches), 2-D advanced indexing,
-    bf16 operands, and take_along_axis (10x slower).
+    On TPU backends this dispatches to the Pallas kernel
+    (ops/pallas/warp.py) that rewrites the gather as a one-hot MXU matmul +
+    binary select tree — XLA's general gather is the step's dominant cost
+    (~60 ms per 2M positions, BENCH_NOTES.md).
+
+    The XLA path below fuses one gather over all C channels (the 5
+    poly-coefficient maps).  Measured alternatives that did NOT help
+    (BENCH_NOTES.md): warping a single channel and re-expanding (gather cost
+    is per position), packing the four bilinear corners into 4C channels for
+    a single gather (XLA already amortises the four corner fetches), 2-D
+    advanced indexing, bf16 operands, and take_along_axis (10x slower).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vfd_gan_tpu.ops.pallas.warp import bilinear_warp_pallas
+        return bilinear_warp_pallas(fields, flow_x, flow_y)
     n, h, w, c = fields.shape
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x
@@ -346,14 +356,16 @@ def video_to_flow_rgb(video, scale: float = 1.0, streams: int = 1):
     prev = gray[:, :-1].reshape(b * (t - 1), fh, fw)
     cur = gray[:, 1:].reshape(b * (t - 1), fh, fw)
 
-    # The warp-gather's per-field cost steps up with operand size (cliff at
-    # ~128 fields @128^2, and still ~15% cheaper at <=32; BENCH_NOTES.md) —
-    # process pair batches in sequential chunks.  Tiny chunks would pay too
-    # much fixed overhead, so fall back to wider ones when n has no
-    # convenient divisor.
+    # XLA's warp gather has a per-field cost cliff past ~128 fields @128^2
+    # (BENCH_NOTES.md), dodged by processing pair batches in sequential
+    # lax.map chunks.  The Pallas warp kernel (TPU backends) has no cliff —
+    # it scales sub-linearly with batch — so there the full batch goes
+    # through in one call (chunking would only shrink its matmuls).
     n = prev.shape[0]
 
     def _chunk_size(n):
+        if jax.default_backend() == "tpu":
+            return n
         for cap in (32, 128):
             best = max((d for d in range(1, cap + 1) if n % d == 0),
                        default=1)

@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: bilinear flow warp as MXU one-hot matmul + select tree.
+
+The Farneback refinement loop warps the 5 stacked polynomial-coefficient
+maps by the current flow every iteration (reference hot spot: the cv2 flow
+call, lib/utils.py:94-129; on-device rebuild ops/flow.py:_bilinear_warp).
+XLA lowers that to a general gather whose measured cost is ~60 ms per 2M
+positions on a v5e — the single largest slice of the fused train step
+(BENCH_NOTES.md component budget).
+
+TPU vector units have no per-lane gather, so this kernel re-expresses the
+2-D bilinear sample exactly as structured compute:
+
+* horizontal: sampling columns ``x0/x1`` with fractional blend ``wx`` is a
+  two-hot weight matrix ``(W, BI*W)`` applied on the MXU to the field
+  arranged ``(H*C, W)`` — ONE matmul per row-block covering every channel
+  and every candidate source row at once: ``T (H*C, BI*W)``;
+* vertical: picking rows ``y0/y1`` out of ``T`` is a binary select tree
+  over the leading (power-of-2-padded) row axis — log2(H) vectorised
+  ``where`` passes whose operands genuinely halve each level — followed by
+  the fractional ``wy`` blend.
+
+Mosaic constraints honoured throughout: no 1-D vectors, no reshapes that
+merge/split the minor (lane) dim, no minor-dim broadcasts.  All per-pixel
+quantities live as ``(1, BI*W)`` rows; the field/coordinate layouts are
+prepared outside the kernel where XLA transposes are free to fuse.
+
+Flow values feed the (fully detached) discriminator inputs, so the warp is
+forward-only: no custom VJP is needed (gan_engine.py stop-gradient wiring,
+reference models/mygannet.py:279-286).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# One-hot matmul operand dtype.  bf16 weights quantise the fractional
+# bilinear weights to ~3 decimal digits — well inside the flow pipeline's
+# documented cv2 tolerance (see ops/flow.py CORR_DTYPE, same trade).
+WARP_DTYPE = jnp.bfloat16
+
+
+def _tree_select(t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel dynamic row pick ``t[idx[0, m], :, m]`` as a select tree.
+
+    ``t``: (R, C, M) with R a power of two; ``idx``: (1, M) int32 in
+    [0, R).  log2(R) vectorised ``where`` passes instead of a gather; the
+    row axis is leading, so each level's operand really halves.
+    """
+    r = t.shape[0]
+    while r > 1:
+        half = r // 2
+        # i1 vectors can't be reshaped/expanded on TPU — shape the condition
+        # by a leading-dim broadcast of an int32 comparison
+        hi = jnp.where(idx >= half, 1, 0)[None]          # (1, 1, M)
+        t = jnp.where(hi == 1, t[half:r], t[:half])
+        idx = idx - jnp.where(idx >= half, half, 0)
+        r = half
+    return t[0]                                          # (C, M)
+
+
+def _warp_kernel(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
+                 hpad: int):
+    """One (image, row-block) grid step.
+
+    ft_ref: (1, H*C, W) field with rows (source row, channel); xs/ys_ref:
+    (1, M=BI*W) absolute sample coordinates (pre-clamped, pixel-major);
+    out_ref: (1, C, M).
+    """
+    _, _, w = ft_ref.shape
+    xs = xs_ref[0, 0]                                    # (1, M) f32
+    ys = ys_ref[0, 0]
+    x0f = jnp.floor(xs)
+    wx = xs - x0f
+    x0 = x0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y0f = jnp.floor(ys)
+    wy = ys - y0f
+    y0 = y0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    # Two-hot horizontal weights: wxt[s, m] weights source column s for
+    # output pixel m (x0 == x1 at the right border degrades to the sum of
+    # both hots = the clamped sample, matching the XLA path).
+    s = jax.lax.broadcasted_iota(jnp.int32, (w,) + xs.shape[1:], 0)
+    zero = jnp.zeros((), jnp.float32)
+    wxt = (jnp.where(s == x0, 1.0 - wx, zero)
+           + jnp.where(s == x1, wx, zero)).astype(WARP_DTYPE)
+
+    # (H*C, W) @ (W, M): every channel's horizontally-interpolated value at
+    # every candidate source row, in one MXU pass per row-block.
+    t = jnp.dot(ft_ref[0].astype(WARP_DTYPE), wxt,
+                preferred_element_type=jnp.float32)      # (H*C, M)
+    t = t.reshape(h, c, t.shape[-1])
+    if hpad != h:
+        t = jnp.concatenate(
+            [t, jnp.zeros((hpad - h,) + t.shape[1:], jnp.float32)], axis=0)
+
+    t0 = _tree_select(t, y0)                             # (C, M)
+    t1 = _tree_select(t, y1)
+    out_ref[0] = t0 * (1.0 - wy) + t1 * wy
+
+
+def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
+                         flow_y: jnp.ndarray, *,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops/flow._bilinear_warp on TPU backends.
+
+    fields (N, H, W, C) float; flow_x/flow_y (N, H, W) displacements added
+    to the pixel grid and clamped to the image bounds (cv2 convention).
+    """
+    n, h, w, c = fields.shape
+    ys = jnp.clip(jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y,
+                  0.0, h - 1.0).reshape(n, h * w)
+    xs = jnp.clip(jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x,
+                  0.0, w - 1.0).reshape(n, h * w)
+    # rows = (source row, channel) so one matmul covers all channels
+    ft = jnp.transpose(fields.astype(jnp.float32),
+                       (0, 1, 3, 2)).reshape(n, h * c, w)
+
+    bi = next(b for b in (8, 4, 2, 1) if h % b == 0)
+    m = bi * w
+    nb = h // bi
+    # (n, nb, 1, m) so the block's last two dims (1, m) equal array dims
+    # (Pallas requires the trailing two block dims divide (8, 128) or match)
+    xs = xs.reshape(n, nb, 1, m)
+    ys = ys.reshape(n, nb, 1, m)
+    hpad = 1 << (h - 1).bit_length()
+
+    # The select trees' worst-case stack exceeds the default 16M scoped-vmem
+    # budget at 128x128; the chip has far more VMEM than the default cap.
+    params_cls = getattr(pltpu, "CompilerParams", None) or \
+        getattr(pltpu, "TPUCompilerParams")
+    out = pl.pallas_call(
+        partial(_warp_kernel, h=h, c=c, hpad=hpad),
+        grid=(n, h // bi),
+        compiler_params=params_cls(vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, h * c, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, m), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, m), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, m), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, h * w), jnp.float32),
+        interpret=interpret,
+    )(ft, xs, ys)
+    # (N, C, H*W) -> (N, H, W, C); XLA fuses this into the consumers
+    return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
