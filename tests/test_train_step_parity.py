@@ -16,7 +16,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from tests.test_torch_parity import ref_modules, _np_sd  # noqa: E402,F401
+from tests.test_torch_parity import _np_sd  # noqa: E402
+# (the ref_modules fixture lives in tests/conftest.py)
 
 from vfd_gan_tpu.models.convlstm import ConvLSTMModel  # noqa: E402
 from vfd_gan_tpu.ops.losses import bce  # noqa: E402
@@ -83,12 +84,12 @@ def test_one_supervised_step_matches_torch(ref_modules):  # noqa: F811
     for i in (1, 2, 3):
         np.testing.assert_allclose(
             got_params[f"clstm{i}"]["gate_kernel"],
-            want["params"][f"clstm{i}"]["gate_kernel"], atol=5e-6)
+            want["params"][f"clstm{i}"]["gate_kernel"], atol=1e-5)
         np.testing.assert_allclose(
             got_params[f"bn{i}"]["BatchNorm_0"]["scale"],
-            want["params"][f"bn{i}"]["BatchNorm_0"]["scale"], atol=5e-6)
+            want["params"][f"bn{i}"]["BatchNorm_0"]["scale"], atol=1e-5)
     np.testing.assert_allclose(got_params["head_kernel"],
-                               want["params"]["head_kernel"], atol=5e-6)
+                               want["params"]["head_kernel"], atol=1e-5)
 
     # BN running stats after one train-mode forward
     got_stats = jax.device_get(state.batch_stats)

@@ -28,7 +28,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vfd_gan_tpu.models.layers import TorchLinear, VideoBatchNorm
+from vfd_gan_tpu.models.layers import TorchBatchNorm, TorchLinear, VideoBatchNorm
 from vfd_gan_tpu.ops.convs import avg_pool3d, conv3d, conv3d_transpose
 from vfd_gan_tpu.utils.init import dcgan_normal_init, torch_default_init
 
@@ -56,11 +56,9 @@ class AnoGenerator(nn.Module):
 
         # Stage 1: Dense to the seed volume + BN1d + ReLU (anogan.py:43-47).
         x = TorchLinear(512 * t0 * s0 * s0, dtype=self.dtype, name="fc")(z)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32,
-                         axis_name=self.axis_name if train else None,
-                         name="fc_bn")(x)
+        x = TorchBatchNorm(dtype=self.dtype,
+                           axis_name=self.axis_name if train else None,
+                           name="fc_bn")(x, use_running_average=not train)
         x = nn.relu(x)
         x = x.reshape(z.shape[0], t0, s0, s0, 512)
 

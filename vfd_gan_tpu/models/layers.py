@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vfd_gan_tpu.ops.convs import (
@@ -29,13 +30,67 @@ from vfd_gan_tpu.utils.init import (
 Dtype = Any
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    flax's ``nn.BatchNorm`` folds the *biased* batch variance into the
+    running average; torch BatchNorm3d folds the *unbiased* one
+    (Bessel-corrected by N/(N-1)) while still normalising with the biased
+    variance.  The gap is ~1/N relative — systematic, and visible in the
+    golden train-step parity tests — so this module reimplements the stat
+    update torch-style.  Variable names/shapes match flax ``nn.BatchNorm``
+    (params ``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoint
+    trees and the ``.pth`` converters are unchanged.
+    """
+
+    momentum: float = 0.1                 # torch convention (new-stat share)
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        scale = self.param("scale", bn_scale_init(), (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (feat,),
+                                jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (feat,),
+                               jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            n = jnp.float32(x.size // feat)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class VideoBatchNorm(nn.Module):
     """BatchNorm over (B, T, H, W) per channel.
 
-    torch BatchNorm3d semantics: momentum 0.1 (flax momentum 0.9), eps 1e-5,
-    running stats updated in train mode.  ``axis_name`` enables cross-replica
-    statistics under shard_map (an upgrade over DataParallel's per-replica
-    stats; flagged in parity docs).
+    torch BatchNorm3d semantics: momentum 0.1, eps 1e-5, unbiased running
+    variance, running stats updated in train mode.  ``axis_name`` enables
+    cross-replica statistics under shard_map (an upgrade over DataParallel's
+    per-replica stats; flagged in parity docs).
     """
 
     dtype: Dtype = jnp.float32
@@ -43,16 +98,11 @@ class VideoBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
+        return TorchBatchNorm(
             dtype=self.dtype,
-            param_dtype=jnp.float32,
-            scale_init=bn_scale_init(),
-            bias_init=nn.initializers.zeros,
             axis_name=self.axis_name if train else None,
-        )(x)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train)
 
 
 class STConv(nn.Module):

@@ -49,6 +49,9 @@ class Generator(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
     remat: bool = False
+    # Reference fixes decoder Dropout at 0.25 (models/mygannet.py:75-99);
+    # exposed so deterministic parity tests can zero it.
+    drop_rate: float = 0.25
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,7 +60,7 @@ class Generator(nn.Module):
                      if self.remat else GenConvBlock)
         blk = lambda f, name: block_cls(f, dtype=self.dtype,
                                         axis_name=self.axis_name, name=name)
-        drop = nn.Dropout(rate=0.25, deterministic=not train)
+        drop = nn.Dropout(rate=self.drop_rate, deterministic=not train)
         g = self.ngf
 
         # Encoder: features at full, 1/2, 1/4, 1/8 resolution; bottleneck 1/16.
