@@ -47,6 +47,57 @@ def test_dp4_matches_dp1(data, tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory):
+    """The fused MyGAN step (two optimisers, sequential D BN updates,
+    on-device flow) is DP-invariant: dp4 == dp1 on the same global batch
+    (VERDICT.md round-1 Weak #4)."""
+    from vfd_gan_tpu.train.gan_engine import MyGanEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    root = str(tmp_path_factory.mktemp("gan_dp_vids"))
+    train_list, test_list = make_dataset(root, n_train=2, n_test=1,
+                                         frames=48, size=72,
+                                         include_originals=False)
+
+    results = {}
+    for dp in (1, 4):
+        cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
+                     freq=10 ** 6, dp=dp, lr=1e-4, ngf=4, ndf=4,
+                     result_root=str(tmp_path), tensorboard=False,
+                     compute_dtype="float32", seed=7,
+                     tr_plist=train_list, ts_plist=test_list).validate()
+        eng = MyGanEngine(cfg, *build_iterators(cfg))
+        batch = next(iter(eng.train_iter))
+        from vfd_gan_tpu.parallel.mesh import shard_batch
+        g_state, d_state, metrics, _ = eng._train_step(
+            eng.g_state, eng.d_state, shard_batch(eng.mesh, batch),
+            jax.random.key(3))
+        results[dp] = (
+            {k: float(v) for k, v in metrics.items()},
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(
+                jax.device_get((g_state.params, d_state.params,
+                                d_state.batch_stats)))])
+        eng.close()
+
+    # Tolerances: dp4 changes reduction order, which perturbs BN batch
+    # statistics (measured max ~4e-4 rel on loss scalars with the two-pass
+    # variance; the one-pass E[x^2]-E[x]^2 form cancelled catastrophically
+    # on near-constant mask channels and blew this to 2e-2) and the bf16
+    # flow matmuls.  Params move by <= ~lr (1e-4) per Adam step, so a
+    # semantic DP bug (unsynced grads/BN) would diverge by O(weight scale
+    # 0.02) — two orders above atol — while reduction noise at worst flips
+    # a near-zero gradient's sign (2*lr) or shifts a BN running stat by
+    # momentum*var_noise (measured max 2e-4 across params+stats).
+    m1, m4 = results[1][0], results[4][0]
+    assert set(m1) == set(m4)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m4[k], rtol=1e-3, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(results[1][1], results[4][1]):
+        np.testing.assert_allclose(a, b, atol=4e-4)
+
+
 def test_init_distributions():
     """weights_init distributions (lib/utils.py:51-56): conv kernels
     N(0, 0.02), BN scale N(1, 0.02), BN bias 0."""

@@ -67,13 +67,19 @@ class TorchBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axes)
-            mean2 = jnp.mean(jnp.square(xf), axes)
             n = jnp.float32(x.size // feat)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
                 n = n * jax.lax.psum(1, self.axis_name)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            # Two-pass variance E[(x-mu)^2], NOT E[x^2]-E[x]^2: the one-pass
+            # form catastrophically cancels on near-constant channels (true
+            # var ~1e-6 under mean^2 ~0.3 loses ~7 of f32's digits — mask
+            # videos at init are exactly this), which made dp1 vs dp4
+            # reduction order visibly change deep activations.  torch's own
+            # variance is the stable form, so this is also the parity choice.
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if self.axis_name is not None:
+                var = jax.lax.pmean(var, self.axis_name)
             if not self.is_initializing():
                 m = self.momentum
                 unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))

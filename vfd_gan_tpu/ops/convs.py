@@ -51,21 +51,53 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
                   padding: int | str = "SAME") -> jnp.ndarray:
     """Per-pixel 1-D convolution along the frame axis.
 
+    The stride-1 case (every model's temporal conv) is lowered to ``kt``
+    frame-shifted channel matmuls summed in f32 — XLA's generic conv emitter
+    is ~2x slower than plain MXU GEMMs at these channel counts (measured
+    6.8 -> 3.4 ms fwd, 11.4 -> 6.7 ms fwd+bwd for the level-1 generator
+    block; BENCH_NOTES.md).  Tap sums stay in f32 until the final cast, so
+    accumulation error matches the conv path's f32 accumulator.
+
     Args:
       x: ``(B, T, H, W, C)``.
       kernel: ``(kt, Cin, Cout)``.
     """
     b, t, h, w, c = x.shape
+    kt = kernel.shape[0]
+    if isinstance(padding, str):
+        pad_lo, pad_hi = _same_pad_1d(t, kt, stride, padding)
+    else:
+        pad_lo = pad_hi = padding
+
+    if stride == 1:
+        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+        tout = t + pad_lo + pad_hi - kt + 1
+        out = None
+        for dt in range(kt):
+            term = jnp.einsum(
+                "bthwc,cd->bthwd", xp[:, dt:dt + tout],
+                kernel[dt].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+            out = term if out is None else out + term
+        return out.astype(x.dtype)
+
     y = x.reshape(b, t, h * w, c)
-    if isinstance(padding, int):
-        padding = [(padding, padding), (0, 0)]
     y = lax.conv_general_dilated(
         y, kernel[:, None].astype(x.dtype),  # (kt, 1, Cin, Cout)
         window_strides=(stride, 1),
-        padding=padding,
+        padding=[(pad_lo, pad_hi), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y.reshape(b, y.shape[1], h, w, -1)
+
+
+def _same_pad_1d(size: int, k: int, stride: int, mode: str) -> tuple[int, int]:
+    """lax-style SAME/VALID padding amounts for one dimension."""
+    if mode.upper() == "VALID":
+        return 0, 0
+    out = -(-size // stride)                     # ceil
+    total = max((out - 1) * stride + k - size, 0)
+    return total // 2, total - total // 2
 
 
 def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, *,
