@@ -1,6 +1,7 @@
 """Crash-recovery autosave: rolling 'latest' checkpoint during training."""
 
 import os
+import signal
 
 from vfd_gan_tpu.config import Config
 from vfd_gan_tpu.data.synthetic import make_dataset
@@ -26,3 +27,40 @@ def test_autosave_writes_latest(tmp_path):
     assert eng2.global_step == eng.global_step - eng.global_step % 2
     eng.close()
     eng2.close()
+
+
+def test_sigterm_saves_latest_and_exits_cleanly(tmp_path):
+    """Preemption safety: SIGTERM mid-epoch parks a resumable `latest`
+    checkpoint (incl. exact-resume loop state) and train() returns instead
+    of dying (SURVEY.md §5 failure recovery)."""
+    root = str(tmp_path / "vids")
+    train_list, test_list = make_dataset(root, n_train=1, n_test=1,
+                                         frames=16, size=32)
+    cfg = Config(model="clstm", isize=16, nfr=8, batchsize=1, ep=3,
+                 freq=10 ** 6, result_root=str(tmp_path),
+                 tensorboard=False, compute_dtype="float32",
+                 tr_plist=train_list, ts_plist=test_list).validate()
+    eng = SupervisedEngine(cfg, *build_iterators(cfg))
+
+    orig_step = eng._do_train_step
+
+    def step_then_sigterm(batch, key):
+        out = orig_step(batch, key)
+        if eng.global_step == 2:  # mimic an external preemption mid-epoch
+            signal.raise_signal(signal.SIGTERM)
+        return out
+
+    eng._do_train_step = step_then_sigterm
+    eng.train()  # returns cleanly (no exception, no process kill)
+    assert eng.global_step == 2
+
+    latest = os.path.join(eng.dirs.weights, "latest")
+    assert os.path.isdir(latest)
+    cfg2 = Config(**{**cfg.__dict__, "resume": latest})
+    eng2 = SupervisedEngine(cfg2, *build_iterators(cfg2))
+    assert eng2.global_step == 2
+    assert eng2.batch_in_epoch == eng.batch_in_epoch
+    eng.close()
+    eng2.close()
+    # default signal disposition restored after train()
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL

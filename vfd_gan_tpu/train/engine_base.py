@@ -92,6 +92,12 @@ class EngineBase:
 
         cfg = self.cfg
         print(f" >> Training model {cfg.model}.")
+        with self._graceful_shutdown() as stop_signal:
+            self._train_loop(jax, device_prefetch, save_checkpoint, cfg,
+                             stop_signal)
+
+    def _train_loop(self, jax, device_prefetch, save_checkpoint, cfg,
+                    stop_signal) -> None:
         for self.epoch in range(self.epoch, cfg.ep):
             if hasattr(self.train_iter, "epoch"):
                 # deterministic pass order + mid-epoch fast-forward (resume)
@@ -123,8 +129,48 @@ class EngineBase:
                     print(f" >> Training model {cfg.model}."
                           f"[Stopped at max_steps={cfg.max_steps}]")
                     return
+
+                if stop_signal():
+                    # SIGTERM/SIGINT: park a resumable `latest` checkpoint
+                    # (exact-resume loop state included) and exit cleanly —
+                    # preemption-safe training (SURVEY.md §5 failure
+                    # recovery; the reference loses everything since its
+                    # last best-metric save).
+                    save_checkpoint(self.weight_path("latest"),
+                                    self._ckpt_tree())
+                    print(f" >> Training model {cfg.model}."
+                          f"[Interrupted by signal {stop_signal()}; "
+                          f"saved '{self.weight_path('latest')}' — resume "
+                          f"with --resume]")
+                    return
             self.batch_in_epoch = 0
         print(f" >> Training model {cfg.model}.[Done]")
+
+    def _graceful_shutdown(self):
+        """Context manager installing SIGTERM/SIGINT latches for the training
+        loop.  Yields a zero-arg callable returning the caught signal number
+        (or None); handlers are restored on exit.  No-op off the main thread
+        (signal.signal raises ValueError there — e.g. pytest-xdist workers).
+        """
+        import contextlib
+        import signal as _signal
+
+        @contextlib.contextmanager
+        def _cm():
+            caught: dict = {"sig": None}
+            saved = {}
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                try:
+                    saved[sig] = _signal.signal(
+                        sig, lambda s, _f: caught.__setitem__("sig", s))
+                except ValueError:
+                    pass
+            try:
+                yield lambda: caught["sig"]
+            finally:
+                for sig, handler in saved.items():
+                    _signal.signal(sig, handler)
+        return _cm()
 
     # -- exact-resume loop state --------------------------------------------
     def _loop_state(self) -> dict:
