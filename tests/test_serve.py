@@ -1,0 +1,120 @@
+"""Batch-inference server: micro-batching, HTTP surface, stats."""
+
+import json
+import threading
+import urllib.request
+
+import flax.linen as nn
+import jax
+import numpy as np
+
+from vfd_gan_tpu.cli.serve import InferenceServer, make_handler
+
+T, S = 4, 8
+
+
+class TinyMask(nn.Module):
+    """Stand-in mask model: per-pixel sigmoid of a 1x1 conv."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.sigmoid(nn.Dense(1)(x))
+
+
+def _make_server(max_batch=4, max_wait_ms=20.0):
+    model = TinyMask()
+    x = np.zeros((1, T, S, S, 3), np.float32)
+    variables = model.init(jax.random.key(0), x)
+    return InferenceServer(model, variables, "tiny", isize=S, nfr=T,
+                           max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+
+def test_predict_batches_and_pads():
+    srv = _make_server()
+    try:
+        rng = np.random.default_rng(0)
+        # 3 clips through a max_batch=4 forward: one padded batch
+        clips = rng.uniform(-1, 1, (3, T, S, S, 3)).astype(np.float32)
+        pred = srv.predict(clips)
+        assert pred.shape == (3, T, S, S, 1)
+        # padding must not leak into real outputs: recompute directly
+        want = np.asarray(srv._apply(srv._variables,
+                                     np.concatenate([clips, clips[:1]])))[:3]
+        np.testing.assert_allclose(pred, want, atol=1e-6)
+        # 6 clips > max_batch: split into two compiled-shape chunks
+        clips6 = rng.uniform(-1, 1, (6, T, S, S, 3)).astype(np.float32)
+        assert srv.predict(clips6).shape == (6, T, S, S, 1)
+        st = srv.stats()
+        assert st["requests"] == 2 and st["clips"] == 9
+    finally:
+        srv.close()
+
+
+def test_concurrent_requests_share_a_batch():
+    srv = _make_server(max_batch=8, max_wait_ms=200.0)
+    try:
+        rng = np.random.default_rng(1)
+        outs = {}
+
+        def worker(i):
+            c = rng.uniform(-1, 1, (1, T, S, S, 3)).astype(np.float32)
+            outs[i] = srv.predict(c)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(outs) == 4
+        st = srv.stats()
+        # the 200 ms window should have packed (most of) them together
+        assert st["batches"] <= 3
+        assert st["clips"] == 4
+    finally:
+        srv.close()
+
+
+def test_http_endpoints():
+    from http.server import ThreadingHTTPServer
+
+    srv = _make_server()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    httpd.inference = srv
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz") as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["nfr"] == T
+
+        clip = np.random.default_rng(2).uniform(
+            -1, 1, (1, T, S, S, 3)).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict?mask=1",
+            data=clip.tobytes(),
+            headers={"X-Clip-Count": "1"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert len(out["frame_scores"]) == 1
+        assert len(out["frame_scores"][0]) == T
+        assert out["mask_shape"] == [1, T, S, S]
+
+        # malformed size -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b"123", method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats") as r:
+            st = json.loads(r.read())
+        assert st["clips"] >= 1
+    finally:
+        httpd.shutdown()
+        srv.close()

@@ -1,0 +1,264 @@
+"""Batch-inference server: a persistent jitted forward behind HTTP.
+
+Serving capability beyond the reference (whose only inference surface is
+the metric sweep in ``test.py``): a long-lived process that
+
+* loads one mask model once (same checkpoint dispatch as ``cli/infer.py``:
+  Orbax dirs or reference ``.pth`` via the torch_compat converters,
+  reference dispatch rules ``test.py:115-144``),
+* compiles ONE fixed-shape forward ``(max_batch, nfr, isize, isize, 3)``
+  and keeps it warm for the life of the process (critical on TPU, where
+  every new shape recompiles), and
+* **micro-batches concurrent requests**: a collector thread drains a queue,
+  packs up to ``--max_batch`` clips (padding the tail with zeros so the
+  compiled shape never changes), runs the jitted forward once, and fans the
+  responses back out — the standard dynamic-batching pattern production
+  servers use to keep the accelerator fed.
+
+Endpoints (stdlib ``http.server``; no extra dependencies):
+
+* ``POST /predict``  — body: raw ``float32`` little-endian clip bytes of
+  shape ``(nfr, isize, isize, 3)`` in [-1, 1] (header
+  ``X-Clip-Count: k`` allows ``k`` stacked clips).  Response: JSON with
+  per-frame mean mask scores and (optionally, ``?mask=1``) the mask video
+  as base64 ``uint8``.
+* ``GET /healthz``   — liveness + model name.
+* ``GET /stats``     — requests served, clips served, mean batch
+  occupancy, p50/p99 latency (ms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="mask-model inference server")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--torch_ckpt", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8790)
+    p.add_argument("--isize", type=int, default=128)
+    p.add_argument("--nfr", type=int, default=16)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="compiled batch size; requests are packed up to this")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="how long the batcher waits to fill a batch")
+    return p
+
+
+class _Work:
+    """One enqueued clip-batch and its completion event."""
+
+    def __init__(self, clips: np.ndarray):
+        self.clips = clips                    # (k, T, H, W, 3) float32
+        self.done = threading.Event()
+        self.pred: np.ndarray | None = None   # (k, T, H, W, 1)
+        self.error: str | None = None
+
+
+class InferenceServer:
+    """Owns the model, the compiled forward, and the batcher thread."""
+
+    def __init__(self, model, variables, name: str, *, isize: int, nfr: int,
+                 max_batch: int, max_wait_ms: float):
+        import jax
+        import jax.numpy as jnp
+
+        self.name = name
+        self.isize, self.nfr = isize, nfr
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Work]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.requests = 0
+        self.clips = 0
+        self.batches = 0
+        self.latencies_ms: list[float] = []
+
+        self._variables = variables
+        self._apply = jax.jit(lambda v, x: model.apply(v, x, False))
+        # warm the compile with the fixed shape so the first request
+        # doesn't eat the compile latency
+        z = jnp.zeros((max_batch, nfr, isize, isize, 3), jnp.float32)
+        np.asarray(self._apply(self._variables, z))
+
+        self._stop = threading.Event()
+        self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self._batcher.start()
+
+    # -- batcher ------------------------------------------------------------
+    def _batch_loop(self) -> None:
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            count = first.clips.shape[0]
+            deadline = time.perf_counter() + self.max_wait_s
+            while count < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                count += nxt.clips.shape[0]
+
+            t0 = time.perf_counter()
+            clips = np.concatenate([w.clips for w in batch])
+            for start in range(0, len(clips), self.max_batch):
+                chunk = clips[start:start + self.max_batch]
+                pad = self.max_batch - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                         np.float32)])
+                pred = np.asarray(self._apply(self._variables,
+                                              jnp.asarray(chunk)))
+                if pad:
+                    pred = pred[:-pad]
+                clips_out = pred if start == 0 else \
+                    np.concatenate([clips_out, pred])
+            ms = (time.perf_counter() - t0) * 1000
+
+            i = 0
+            for w in batch:
+                k = w.clips.shape[0]
+                w.pred = clips_out[i:i + k]
+                i += k
+                w.done.set()
+            with self._stats_lock:
+                self.batches += 1
+                self.clips += len(clips)
+                self.latencies_ms.append(ms)
+
+    # -- public API ----------------------------------------------------------
+    def predict(self, clips: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+        """Blocking: enqueue ``(k, T, H, W, 3)`` clips, wait for the batcher.
+        """
+        w = _Work(np.ascontiguousarray(clips, np.float32))
+        self._q.put(w)
+        if not w.done.wait(timeout):
+            raise TimeoutError("inference timed out")
+        with self._stats_lock:
+            self.requests += 1
+        return w.pred
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self.latencies_ms)
+            pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+                   if lat else 0.0)
+            return {
+                "model": self.name,
+                "requests": self.requests,
+                "clips": self.clips,
+                "batches": self.batches,
+                "mean_batch_occupancy": (self.clips / self.batches
+                                         if self.batches else 0.0),
+                "p50_batch_ms": pct(0.50),
+                "p99_batch_ms": pct(0.99),
+            }
+
+    def close(self) -> None:
+        self._stop.set()
+        self._batcher.join(timeout=2)
+
+
+def make_handler(server: InferenceServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):                      # quiet
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._json(200, {"ok": True, "model": server.name,
+                                 "nfr": server.nfr, "isize": server.isize})
+            elif self.path.startswith("/stats"):
+                self._json(200, server.stats())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                self._json(404, {"error": "unknown path"})
+                return
+            k = int(self.headers.get("X-Clip-Count", "1"))
+            t, s = server.nfr, server.isize
+            want = k * t * s * s * 3 * 4
+            n = int(self.headers.get("Content-Length", "0"))
+            if n != want:
+                self._json(400, {"error": f"body must be {want} bytes "
+                                          f"({k}x{t}x{s}x{s}x3 f32 LE), "
+                                          f"got {n}"})
+                return
+            raw = self.rfile.read(n)
+            clips = np.frombuffer(raw, "<f4").reshape(k, t, s, s, 3)
+            try:
+                pred = server.predict(clips)
+            except TimeoutError:
+                self._json(503, {"error": "inference timed out"})
+                return
+            scores = pred[..., 0].reshape(k, t, -1).mean(axis=2)
+            out = {"clip_count": k,
+                   "frame_scores": scores.tolist()}
+            if "mask=1" in (self.path.split("?", 1) + [""])[1]:
+                mask_u8 = (np.clip(pred[..., 0], 0, 1) * 255).astype(np.uint8)
+                out["mask_u8_b64"] = base64.b64encode(
+                    mask_u8.tobytes()).decode()
+                out["mask_shape"] = list(mask_u8.shape)
+            self._json(200, out)
+
+    return Handler
+
+
+def serve(args) -> ThreadingHTTPServer:
+    """Build the server (used by main() and the tests)."""
+    from vfd_gan_tpu.cli.infer import _load
+    model, variables, name = _load(args.ckpt, args.torch_ckpt)
+    inf = InferenceServer(model, variables, name, isize=args.isize,
+                          nfr=args.nfr, max_batch=args.max_batch,
+                          max_wait_ms=args.max_wait_ms)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(inf))
+    httpd.inference = inf
+    return httpd
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    httpd = serve(args)
+    host, port = httpd.server_address
+    print(f"serving {httpd.inference.name} on http://{host}:{port} "
+          f"(batch {args.max_batch}, wait {args.max_wait_ms} ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.inference.close()
+
+
+if __name__ == "__main__":
+    main()
