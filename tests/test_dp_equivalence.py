@@ -98,6 +98,51 @@ def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory):
         np.testing.assert_allclose(a, b, atol=4e-4)
 
 
+def test_gan_dp2_sp2_matches_dp1(tmp_path, tmp_path_factory):
+    """2-D (dp x sp) mesh: the fused MyGAN step with the frame axis sharded
+    over sp (GSPMD-partitioned temporal convs / BN stats / flow) matches the
+    unsharded step on the same global batch."""
+    from vfd_gan_tpu.train.gan_engine import MyGanEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    root = str(tmp_path_factory.mktemp("gan_sp_vids"))
+    train_list, test_list = make_dataset(root, n_train=2, n_test=1,
+                                         frames=48, size=72,
+                                         include_originals=False)
+
+    results = {}
+    for dp, sp in ((1, 1), (2, 2)):
+        cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
+                     freq=10 ** 6, dp=dp, sp=sp, lr=1e-4, ngf=4, ndf=4,
+                     result_root=str(tmp_path), tensorboard=False,
+                     compute_dtype="float32", seed=7,
+                     tr_plist=train_list, ts_plist=test_list).validate()
+        eng = MyGanEngine(cfg, *build_iterators(cfg))
+        assert dict(eng.mesh.shape) == (
+            {"dp": 2, "sp": 2} if sp == 2 else {"dp": 1})
+        batch = next(iter(eng.train_iter))
+        from vfd_gan_tpu.parallel.mesh import shard_batch
+        g_state, d_state, metrics, _ = eng._train_step(
+            eng.g_state, eng.d_state, shard_batch(eng.mesh, batch),
+            jax.random.key(3))
+        results[(dp, sp)] = (
+            {k: float(v) for k, v in metrics.items()},
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(
+                jax.device_get((g_state.params, d_state.params,
+                                d_state.batch_stats)))])
+        eng.close()
+
+    # Same tolerance rationale as test_gan_dp4_matches_dp1 above.
+    m1, m2 = results[(1, 1)][0], results[(2, 2)][0]
+    assert set(m1) == set(m2)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-3, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(results[(1, 1)][1], results[(2, 2)][1]):
+        np.testing.assert_allclose(a, b, atol=4e-4)
+
+
 def test_init_distributions():
     """weights_init distributions (lib/utils.py:51-56): conv kernels
     N(0, 0.02), BN scale N(1, 0.02), BN bias 0."""

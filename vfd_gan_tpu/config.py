@@ -64,6 +64,12 @@ class Config:
     # ---- TPU-native extensions (no reference equivalent) ----
     # Number of data-parallel shards; 0 = use all local devices.
     dp: int = 0
+    # Sequence-parallel shards: >1 builds a 2-D (dp, sp) device mesh and
+    # shards the clip's frame axis across it — GSPMD partitions the whole
+    # fused train step (temporal convs become halo collective-permutes, BN
+    # stats all-reduce over both axes).  For clips too long for one chip's
+    # HBM.  Requires nfr % sp == 0 and dp*sp <= device count.
+    sp: int = 1
     # Computation dtype for the model body ("bfloat16" or "float32").
     # Parameters and optimiser state always stay float32.
     compute_dtype: str = "bfloat16"
@@ -117,6 +123,8 @@ class Config:
                              "(64x spatial / 16x temporal downsampling)")
         if self.compute_dtype not in ("bfloat16", "float32"):
             raise ValueError("compute_dtype must be bfloat16 or float32")
+        if self.sp < 1 or (self.sp > 1 and self.nfr % self.sp):
+            raise ValueError("sp must be >= 1 and divide nfr")
         if self.morph_plane not in ("th", "hw"):
             raise ValueError("morph_plane must be 'th' or 'hw'")
         return self

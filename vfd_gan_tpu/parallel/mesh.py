@@ -30,18 +30,37 @@ def auto_dp(batchsize: int, requested: int = 0, n_devices: int | None = None) ->
     return max(dp, 1)
 
 
-def make_mesh(dp: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh.  ``dp=0`` uses every local device."""
+def make_mesh(dp: int = 0, sp: int = 1, devices=None) -> Mesh:
+    """Device mesh: 1-D data-parallel, or 2-D ``(dp, sp)`` when ``sp > 1``.
+
+    The ``sp`` (sequence-parallel) axis shards the clip's frame dimension
+    across chips — GSPMD partitions every temporal op in the fused train
+    step over it (the shifted-matmul temporal convs become
+    collective-permute halo exchanges, BN batch statistics all-reduce over
+    both axes).  ``dp=0`` uses every device left after ``sp``.
+    """
     devices = list(devices if devices is not None else jax.devices())
+    if sp <= 1:
+        if dp <= 0:
+            dp = len(devices)
+        if dp > len(devices):
+            raise ValueError(
+                f"requested dp={dp} but only {len(devices)} devices")
+        return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
     if dp <= 0:
-        dp = len(devices)
-    if dp > len(devices):
-        raise ValueError(f"requested dp={dp} but only {len(devices)} devices")
-    return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
+        dp = len(devices) // sp
+    if dp * sp > len(devices):
+        raise ValueError(f"requested dp*sp={dp}*{sp} but only "
+                         f"{len(devices)} devices")
+    return Mesh(np.asarray(devices[:dp * sp]).reshape(dp, sp),
+                axis_names=("dp", "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard leading (batch) axis over the dp mesh axis."""
+    """Shard the leading (batch) axis over dp — and, on a 2-D mesh, the
+    second (frame) axis over sp."""
+    if "sp" in mesh.axis_names:
+        return NamedSharding(mesh, P("dp", "sp"))
     return NamedSharding(mesh, P("dp"))
 
 
@@ -50,6 +69,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
-    s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    """Device-put a pytree of host arrays with batch-axis sharding (plus
+    frame-axis sharding on a 2-D mesh, for leaves that have a frame axis —
+    per-clip labels stay dp-only)."""
+    full = batch_sharding(mesh)
+    dp_only = NamedSharding(mesh, P("dp"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, full if x.ndim >= 2 else dp_only), batch)

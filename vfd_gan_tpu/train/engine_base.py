@@ -57,7 +57,11 @@ class EngineBase:
         self.cfg = cfg
         self.train_iter = train_iter
         self.test_iter = test_iter
-        self.mesh = make_mesh(auto_dp(cfg.batchsize, cfg.dp))
+        sp = getattr(cfg, "sp", 1)
+        import jax
+        avail = max(1, len(jax.devices()) // sp)
+        self.mesh = make_mesh(
+            auto_dp(cfg.batchsize, cfg.dp, n_devices=avail), sp)
         self.dirs = make_run_dirs(cfg.result_root, cfg.model,
                                   run_comment(cfg, gan=gan))
         self.summary = SummaryLogger(self.dirs.runs, enabled=cfg.tensorboard)
