@@ -16,8 +16,11 @@ from vfd_gan_tpu.train.gan_engine import MyGanEngine
 @pytest.fixture(scope="module")
 def loaders(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("gan_vids"))
-    # nfr=16 required by the U-Net's four temporal halvings
-    return make_dataset(root, n_train=1, n_test=1, frames=32, size=72,
+    # nfr=16 required by the U-Net's four temporal halvings.  size == isize
+    # (64): the test split must not resize the GT, or the 1-px Canny-edge
+    # labels go fractional and the reference's int32 cast truncates them
+    # all to 0 — a single-class sweep that (correctly) skips checkpointing.
+    return make_dataset(root, n_train=1, n_test=1, frames=32, size=64,
                         include_originals=False)
 
 

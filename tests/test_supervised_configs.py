@@ -11,18 +11,17 @@ from vfd_gan_tpu.data.synthetic import make_dataset
 from vfd_gan_tpu.train.supervised_engine import SupervisedEngine
 
 
-@pytest.fixture(scope="module")
-def data(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("cfg_vids"))
-    return make_dataset(root, n_train=1, n_test=1, frames=32, size=36)
-
-
 @pytest.mark.parametrize("model,isize,nfr", [
     ("c2plus1d", 16, 16),   # needs four temporal halvings
     ("xception", 32, 8),    # needs /16 spatial from the strided trunk
 ])
-def test_supervised_config_end_to_end(data, tmp_path, model, isize, nfr):
-    train_list, test_list = data
+def test_supervised_config_end_to_end(tmp_path, model, isize, nfr):
+    # size == isize so the test split's Canny GT is not resized (fractional
+    # edges truncate to all-zero labels under the reference's int32 cast —
+    # a single-class sweep that correctly scores NaN and saves nothing).
+    root = str(tmp_path / "cfg_vids")
+    train_list, test_list = make_dataset(root, n_train=1, n_test=1,
+                                         frames=32, size=isize)
     cfg = Config(model=model, isize=isize, nfr=nfr, batchsize=1, ep=1,
                  freq=10 ** 6, lr=1e-3, result_root=str(tmp_path),
                  tensorboard=False, compute_dtype="float32",
