@@ -48,7 +48,16 @@ def build_engine(cfg: Config, train_iter, test_iter):
 
 
 def main(argv=None) -> None:
-    from vfd_gan_tpu.utils.runtime import enable_compilation_cache
+    from vfd_gan_tpu.utils.runtime import (
+        enable_compilation_cache,
+        init_distributed,
+    )
+    if init_distributed():
+        # multi-host (DCN) job: jax.devices() is now the global list; the
+        # GSPMD engines work unchanged (utils/runtime.py DistributedSpec)
+        import jax
+        print(f" >> multi-host job: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
     enable_compilation_cache()
     cfg = parse_args(argv)
     if not cfg.tr_plist or not cfg.ts_plist:
