@@ -118,3 +118,41 @@ def test_http_endpoints():
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_http_predict_video(tmp_path):
+    from http.server import ThreadingHTTPServer
+
+    from vfd_gan_tpu.data.video_io import write_video
+
+    vid = str(tmp_path / "clip.mp4")
+    frames = np.random.default_rng(3).integers(
+        0, 255, (2 * T + 1, S, S, 3), dtype=np.uint8)
+    write_video(vid, frames)
+
+    srv = _make_server()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    httpd.inference = srv
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict_video",
+            data=json.dumps({"video_path": vid}).encode(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["clip_count"] == 2          # 2T+1 frames -> 2 windows
+        assert len(out["frame_scores"]) == 2 * T
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict_video",
+            data=json.dumps({"video_path": vid + ".nope"}).encode(),
+            method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        srv.close()

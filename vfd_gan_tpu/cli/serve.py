@@ -202,6 +202,9 @@ def make_handler(server: InferenceServer):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path.startswith("/predict_video"):
+                self._predict_video()
+                return
             if not self.path.startswith("/predict"):
                 self._json(404, {"error": "unknown path"})
                 return
@@ -230,6 +233,47 @@ def make_handler(server: InferenceServer):
                     mask_u8.tobytes()).decode()
                 out["mask_shape"] = list(mask_u8.shape)
             self._json(200, out)
+
+        def _predict_video(self):
+            """JSON {"video_path": ...}: decode server-side (the cv2 path
+            the training loader uses), window into nfr clips, batch through
+            the compiled forward, return per-frame scores."""
+            from vfd_gan_tpu.data.video_io import count_frames, read_clip
+
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                req = json.loads(self.rfile.read(n))
+                path = req["video_path"]
+            except (ValueError, KeyError):
+                self._json(400, {"error": 'body must be JSON with '
+                                          '"video_path"'})
+                return
+            total = count_frames(path)      # <= 0 when unreadable/missing
+            if total <= 0:
+                self._json(404, {"error": f"cannot open video: {path}"})
+                return
+            t, s = server.nfr, server.isize
+            n_clips = total // t
+            if n_clips == 0:
+                self._json(400, {"error": f"video too short: {total} < {t}"})
+                return
+            try:
+                clips = np.stack([
+                    read_clip(path, i * t, t, resize_to=(s, s))
+                    for i in range(n_clips)])
+            except Exception as e:
+                self._json(500, {"error": f"decode failed: {e}"})
+                return
+            clips = clips.astype(np.float32) / 255.0 * 2.0 - 1.0
+            try:
+                pred = server.predict(clips)
+            except TimeoutError:
+                self._json(503, {"error": "inference timed out"})
+                return
+            scores = pred[..., 0].reshape(n_clips, t, -1).mean(axis=2)
+            self._json(200, {"clip_count": n_clips,
+                             "frames": int(n_clips * t),
+                             "frame_scores": scores.reshape(-1).tolist()})
 
     return Handler
 
