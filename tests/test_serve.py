@@ -75,6 +75,28 @@ def test_concurrent_requests_share_a_batch():
         srv.close()
 
 
+def test_load_shedding():
+    from vfd_gan_tpu.cli.serve import OverloadedError
+
+    model = TinyMask()
+    x = np.zeros((1, T, S, S, 3), np.float32)
+    variables = model.init(jax.random.key(0), x)
+    srv = InferenceServer(model, variables, "tiny", isize=S, nfr=T,
+                          max_batch=4, max_wait_ms=5.0, max_queued_clips=2)
+    try:
+        clips = np.zeros((3, T, S, S, 3), np.float32)
+        try:
+            srv.predict(clips)          # 3 > bound of 2 -> immediate shed
+            assert False, "expected OverloadedError"
+        except OverloadedError:
+            pass
+        assert srv.stats()["shed_requests"] == 1
+        # within the bound still works
+        assert srv.predict(clips[:2]).shape == (2, T, S, S, 1)
+    finally:
+        srv.close()
+
+
 def test_http_endpoints():
     from http.server import ThreadingHTTPServer
 

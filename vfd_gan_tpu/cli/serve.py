@@ -23,8 +23,13 @@ Endpoints (stdlib ``http.server``; no extra dependencies):
   per-frame mean mask scores and (optionally, ``?mask=1``) the mask video
   as base64 ``uint8``.
 * ``GET /healthz``   — liveness + model name.
-* ``GET /stats``     — requests served, clips served, mean batch
-  occupancy, p50/p99 latency (ms).
+* ``POST /predict_video`` — JSON ``{"video_path": ...}``: server-side
+  decode (the training loader's cv2 path), windowed into nfr clips.
+* ``GET /healthz`` / ``GET /stats`` — liveness; requests/clips served,
+  mean batch occupancy, p50/p99 latency, shed request count.
+
+Overload degrades to fast ``429`` responses once ``max_queued_clips``
+admitted clips are waiting (load shedding), never unbounded queueing.
 """
 
 from __future__ import annotations
@@ -55,6 +60,10 @@ def build_parser():
     return p
 
 
+class OverloadedError(RuntimeError):
+    """Admission bound hit — shed load instead of queueing unboundedly."""
+
+
 class _Work:
     """One enqueued clip-batch and its completion event."""
 
@@ -69,7 +78,8 @@ class InferenceServer:
     """Owns the model, the compiled forward, and the batcher thread."""
 
     def __init__(self, model, variables, name: str, *, isize: int, nfr: int,
-                 max_batch: int, max_wait_ms: float):
+                 max_batch: int, max_wait_ms: float,
+                 max_queued_clips: int = 256):
         import jax
         import jax.numpy as jnp
 
@@ -77,6 +87,11 @@ class InferenceServer:
         self.isize, self.nfr = isize, nfr
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        # load shedding: bound the admitted-but-unserved clip count so a
+        # burst degrades to fast 429s instead of unbounded queueing
+        self.max_queued_clips = max_queued_clips
+        self._queued = 0
+        self.shed = 0
         self._q: "queue.Queue[_Work]" = queue.Queue()
         self._stats_lock = threading.Lock()
         self.requests = 0
@@ -149,11 +164,25 @@ class InferenceServer:
     # -- public API ----------------------------------------------------------
     def predict(self, clips: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """Blocking: enqueue ``(k, T, H, W, 3)`` clips, wait for the batcher.
+
+        Raises OverloadedError when the admission bound is hit.
         """
+        k = int(clips.shape[0])
+        with self._stats_lock:
+            if self._queued + k > self.max_queued_clips:
+                self.shed += 1
+                raise OverloadedError(
+                    f"{self._queued} clips queued (bound "
+                    f"{self.max_queued_clips})")
+            self._queued += k
         w = _Work(np.ascontiguousarray(clips, np.float32))
         self._q.put(w)
-        if not w.done.wait(timeout):
-            raise TimeoutError("inference timed out")
+        try:
+            if not w.done.wait(timeout):
+                raise TimeoutError("inference timed out")
+        finally:
+            with self._stats_lock:
+                self._queued -= k
         with self._stats_lock:
             self.requests += 1
         return w.pred
@@ -172,6 +201,7 @@ class InferenceServer:
                                          if self.batches else 0.0),
                 "p50_batch_ms": pct(0.50),
                 "p99_batch_ms": pct(0.99),
+                "shed_requests": self.shed,
             }
 
     def close(self) -> None:
@@ -221,6 +251,9 @@ def make_handler(server: InferenceServer):
             clips = np.frombuffer(raw, "<f4").reshape(k, t, s, s, 3)
             try:
                 pred = server.predict(clips)
+            except OverloadedError as e:
+                self._json(429, {"error": f"overloaded: {e}"})
+                return
             except TimeoutError:
                 self._json(503, {"error": "inference timed out"})
                 return
@@ -267,6 +300,9 @@ def make_handler(server: InferenceServer):
             clips = clips.astype(np.float32) / 255.0 * 2.0 - 1.0
             try:
                 pred = server.predict(clips)
+            except OverloadedError as e:
+                self._json(429, {"error": f"overloaded: {e}"})
+                return
             except TimeoutError:
                 self._json(503, {"error": "inference timed out"})
                 return
