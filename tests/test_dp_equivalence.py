@@ -200,6 +200,49 @@ def test_anogan_dp4_matches_dp1(tmp_path, tmp_path_factory):
         np.testing.assert_allclose(a, b, atol=5e-3)
 
 
+def test_ganomaly_dp4_matches_dp1(tmp_path, tmp_path_factory):
+    """GANomaly's enc-dec-enc step (feature-matching G loss, per-frame D)
+    is DP-invariant — completes the engine DP-equivalence matrix."""
+    from vfd_gan_tpu.train.ganomaly_engine import GanomalyEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    root = str(tmp_path_factory.mktemp("gano_dp_vids"))
+    train_list, test_list = make_dataset(root, n_train=2, n_test=1,
+                                         frames=48, size=72,
+                                         include_originals=False)
+
+    results = {}
+    for dp in (1, 4):
+        cfg = Config(model="ganomaly", isize=64, nfr=16, batchsize=4, ep=1,
+                     freq=10 ** 6, dp=dp, lr=1e-4, result_root=str(tmp_path),
+                     tensorboard=False, compute_dtype="float32", seed=7,
+                     tr_plist=train_list, ts_plist=test_list).validate()
+        eng = GanomalyEngine(cfg, *build_iterators(cfg))
+        batch = next(iter(eng.train_iter))
+        from vfd_gan_tpu.parallel.mesh import shard_batch
+        g_state, d_state, metrics, _ = eng._train_step(
+            eng.g_state, eng.d_state, shard_batch(eng.mesh, batch),
+            jax.random.key(3))
+        results[dp] = (
+            {k: float(v) for k, v in metrics.items()},
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(
+                jax.device_get((g_state.params, d_state.params)))],
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(
+                jax.device_get(d_state.batch_stats))])
+        eng.close()
+
+    # Same envelope rationale as the tests above (both nets at base lr).
+    m1, m4 = results[1][0], results[4][0]
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m4[k], rtol=1e-3, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(results[1][1], results[4][1]):
+        np.testing.assert_allclose(a, b, atol=2.5e-4)
+    for a, b in zip(results[1][2], results[4][2]):
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
 def test_init_distributions():
     """weights_init distributions (lib/utils.py:51-56): conv kernels
     N(0, 0.02), BN scale N(1, 0.02), BN bias 0."""
