@@ -97,6 +97,24 @@ def test_load_shedding():
         srv.close()
 
 
+def test_batcher_error_propagates_not_hangs():
+    """A poisoned request (wrong trailing shape) fails fast with the cause
+    instead of hanging its batch until timeout or killing the batcher."""
+    srv = _make_server()
+    try:
+        bad = np.zeros((1, T, S, S, 4), np.float32)  # 4 channels
+        try:
+            srv.predict(bad, timeout=30.0)
+            assert False, "expected RuntimeError"
+        except RuntimeError as e:
+            assert "inference failed" in str(e)
+        # the batcher thread survived: a good request still works
+        good = np.zeros((1, T, S, S, 3), np.float32)
+        assert srv.predict(good).shape == (1, T, S, S, 1)
+    finally:
+        srv.close()
+
+
 def test_http_endpoints():
     from http.server import ThreadingHTTPServer
 

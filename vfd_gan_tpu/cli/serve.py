@@ -134,20 +134,28 @@ class InferenceServer:
                 count += nxt.clips.shape[0]
 
             t0 = time.perf_counter()
-            clips = np.concatenate([w.clips for w in batch])
-            for start in range(0, len(clips), self.max_batch):
-                chunk = clips[start:start + self.max_batch]
-                pad = self.max_batch - len(chunk)
-                if pad:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((pad,) + chunk.shape[1:],
-                                         np.float32)])
-                pred = np.asarray(self._apply(self._variables,
-                                              jnp.asarray(chunk)))
-                if pad:
-                    pred = pred[:-pad]
-                clips_out = pred if start == 0 else \
-                    np.concatenate([clips_out, pred])
+            try:
+                clips = np.concatenate([w.clips for w in batch])
+                for start in range(0, len(clips), self.max_batch):
+                    chunk = clips[start:start + self.max_batch]
+                    pad = self.max_batch - len(chunk)
+                    if pad:
+                        chunk = np.concatenate(
+                            [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                             np.float32)])
+                    pred = np.asarray(self._apply(self._variables,
+                                                  jnp.asarray(chunk)))
+                    if pad:
+                        pred = pred[:-pad]
+                    clips_out = pred if start == 0 else \
+                        np.concatenate([clips_out, pred])
+            except Exception as e:          # noqa: BLE001
+                # a poisoned request must not hang its batch peers until
+                # timeout (or kill the batcher thread)
+                for w in batch:
+                    w.error = f"{type(e).__name__}: {e}"
+                    w.done.set()
+                continue
             ms = (time.perf_counter() - t0) * 1000
 
             i = 0
@@ -183,6 +191,8 @@ class InferenceServer:
         finally:
             with self._stats_lock:
                 self._queued -= k
+        if w.error is not None:
+            raise RuntimeError(f"inference failed: {w.error}")
         with self._stats_lock:
             self.requests += 1
         return w.pred
