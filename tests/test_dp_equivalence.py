@@ -107,7 +107,8 @@ def test_gan_dp2_sp2_matches_dp1(tmp_path, tmp_path_factory):
     if len(jax.devices()) < 4:
         pytest.skip("need 4 devices")
     root = str(tmp_path_factory.mktemp("gan_sp_vids"))
-    train_list, test_list = make_dataset(root, n_train=2, n_test=1,
+    # n_test=2 -> 6 test windows -> one full drop-last eval batch of 4
+    train_list, test_list = make_dataset(root, n_train=2, n_test=2,
                                          frames=48, size=72,
                                          include_originals=False)
 
@@ -131,6 +132,15 @@ def test_gan_dp2_sp2_matches_dp1(tmp_path, tmp_path_factory):
             [np.asarray(x) for x in jax.tree_util.tree_leaves(
                 jax.device_get((g_state.params, d_state.params,
                                 d_state.batch_stats)))])
+        if sp == 2:
+            # the eval path (no-augment normalise, eval-mode dual D, flow)
+            # must also run under the 2-D mesh — exercised via one full
+            # periodic sweep.  _train_step donated the old state buffers,
+            # so hand the engine the updated states first (the training
+            # loop does the same reassignment).
+            eng.g_state, eng.d_state = g_state, d_state
+            eng.test()
+            assert np.isfinite(eng.errors["g/err_g_con/test"])
         eng.close()
 
     # Same tolerance rationale as test_gan_dp4_matches_dp1 above.
