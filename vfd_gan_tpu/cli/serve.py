@@ -57,6 +57,8 @@ def build_parser():
                    help="compiled batch size; requests are packed up to this")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="how long the batcher waits to fill a batch")
+    p.add_argument("--max_queued_clips", type=int, default=256,
+                   help="admission bound before shedding load with 429s")
     return p
 
 
@@ -330,7 +332,8 @@ def serve(args) -> ThreadingHTTPServer:
     model, variables, name = _load(args.ckpt, args.torch_ckpt)
     inf = InferenceServer(model, variables, name, isize=args.isize,
                           nfr=args.nfr, max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms)
+                          max_wait_ms=args.max_wait_ms,
+                          max_queued_clips=args.max_queued_clips)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(inf))
     httpd.inference = inf
     return httpd
