@@ -125,11 +125,12 @@ class AnoGanEngine(EngineBase):
         g_state = g_state.apply_grads(self.tx_g, g_grads, g_stats)
 
         pred = predict_forgery(fake_sg, real)
-        t_pre = threshold(pred)
-        m_pre = video_open(t_pre, self.cfg.morph_plane)
+        # summary-only t_pre/m_pre move to EngineBase.viz_morphology (the
+        # eval step keeps them inline — there they feed every sweep batch's
+        # viz panel, and eval already runs only at summary cadence)
         metrics = {"d/err_d/train": d_loss, "g/err_g/train": g_loss}
         viz = {"input": data, "real": real, "gen": fake_sg, "gt": gt,
-               "pred": pred, "t_pre": t_pre, "m_pre": m_pre}
+               "pred": pred}
         return g_state, d_state, metrics, viz
 
     def _eval_step_impl(self, g_state: NetState, d_state: NetState, batch,
@@ -162,7 +163,9 @@ class AnoGanEngine(EngineBase):
         return metrics, viz
 
     def _update_train_videos(self, viz) -> None:
+        t_pre, m_pre = self.viz_morphology(viz["pred"])
         d = {k: np.asarray(v) for k, v in viz.items()}
+        d["t_pre"], d["m_pre"] = np.asarray(t_pre), np.asarray(m_pre)
         self.color_videos["train/input-real-gen"] = np.concatenate(
             [d["input"], d["real"], d["gen"]], axis=2)
         self.gray_videos["train/gt-pre-th-mor"] = np.concatenate(

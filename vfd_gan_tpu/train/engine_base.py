@@ -286,6 +286,33 @@ class EngineBase:
     def close(self) -> None:
         self.summary.close()
 
+    # -- summary-only morphology -------------------------------------------
+    def viz_morphology(self, pred):
+        """Threshold + morphological opening for the summary videos, jitted
+        separately from the train step.
+
+        The reference derives its ``t_pre``/``m_pre`` summary panels from the
+        prediction on every summary flush (lib/train_gan.py:76-80 panels,
+        lib/utils.py:139-147 opening).  Computing them inside the fused train
+        step costs ~10 ms/step on TPU (knockout-measured, BENCH_NOTES.md) yet
+        they are consumed only every ``cfg.freq`` steps — so engines keep the
+        hot step free of them and call this at summary cadence.  Eval steps
+        still compute ``m_pre`` inline: there it is the scored prediction,
+        needed for every batch.
+        """
+        if not hasattr(self, "_viz_morph"):
+            import jax
+            from vfd_gan_tpu.ops.image import threshold
+            from vfd_gan_tpu.ops.morphology import video_open
+            plane = self.cfg.morph_plane
+
+            def _morph(p):
+                t = threshold(p)
+                return t, video_open(t, plane)
+
+            self._viz_morph = jax.jit(_morph)
+        return self._viz_morph(pred)
+
     # -- misc --------------------------------------------------------------
     def weight_path(self, name: str) -> str:
         return os.path.join(self.dirs.weights, name)

@@ -221,9 +221,10 @@ class MyGanEngine(EngineBase):
             "g/err_g_con/train": err_g_con,
         })
 
-        t_pre = threshold(pred_sg)
-        m_pre = video_open(t_pre, self.cfg.morph_plane)
-        viz = {"gt": gt, "pred": pred_sg, "t_pre": t_pre, "m_pre": m_pre,
+        # t_pre/m_pre (summary panels only) are deliberately NOT computed
+        # here — EngineBase.viz_morphology derives them at summary cadence
+        # (~10 ms/step saved, BENCH_NOTES.md).
+        viz = {"gt": gt, "pred": pred_sg,
                "gt_flow": gt_flow, "pre_flow": pre_flow}
         return g_state, d_state, metrics, viz
 
@@ -285,7 +286,9 @@ class MyGanEngine(EngineBase):
         return metrics, viz
 
     def _update_train_videos(self, viz) -> None:
+        t_pre, m_pre = self.viz_morphology(viz["pred"])
         d = {k: np.asarray(v) for k, v in viz.items()}
+        d["t_pre"], d["m_pre"] = np.asarray(t_pre), np.asarray(m_pre)
         self.color_videos["train/input-real-inflow-genflow"] = np.concatenate(
             [d["input"], d["real"], d["gt_flow"], d["pre_flow"]], axis=2)
         self.gray_videos["train/gt-pre-th-morph"] = np.concatenate(

@@ -78,10 +78,9 @@ class SupervisedEngine(EngineBase):
             loss_fn, has_aux=True)(state.params)
         state = state.apply_grads(self.tx, grads, new_stats)
 
-        t_pre = threshold(pred)
-        m_pre = video_open(t_pre, self.cfg.morph_plane)
-        viz = {"data": data, "real": real, "gt": gt, "pred": pred,
-               "t_pre": t_pre, "m_pre": m_pre}
+        # summary-only t_pre/m_pre live in EngineBase.viz_morphology, not the
+        # hot step (computed every cfg.freq steps instead of every step)
+        viz = {"data": data, "real": real, "gt": gt, "pred": pred}
         return state, loss, viz
 
     def _eval_step_impl(self, state: NetState, batch):
@@ -98,7 +97,9 @@ class SupervisedEngine(EngineBase):
         return {"loss/err/train": loss}, viz
 
     def _update_train_videos(self, viz) -> None:
+        t_pre, m_pre = self.viz_morphology(viz["pred"])
         d = {k: np.asarray(v) for k, v in viz.items()}
+        d["t_pre"], d["m_pre"] = np.asarray(t_pre), np.asarray(m_pre)
         self.color_videos["train/input-real"] = np.concatenate(
             [d["data"], d["real"]], axis=2)
         self.gray_videos["train/gt-pre-th-mor"] = np.concatenate(
