@@ -148,9 +148,9 @@ def _bilinear_warp(fields, flow_x, flow_y, use_pallas: bool | None = None):
     """Sample ``fields`` (N, H, W, C) at (x + flow_x, y + flow_y), clamped.
 
     On TPU backends this dispatches to the Pallas kernel
-    (ops/pallas/warp.py) that rewrites the gather as a one-hot MXU matmul +
-    binary select tree — XLA's general gather is the step's dominant cost
-    (~60 ms per 2M positions, BENCH_NOTES.md).
+    (ops/pallas/warp.py) that rewrites the gather as a two-hot MXU matmul +
+    vertical two-hot mask-reduce — XLA's general gather is the step's
+    dominant cost (~60 ms per 2M positions, BENCH_NOTES.md).
 
     The XLA path below fuses one gather over all C channels (the 5
     poly-coefficient maps).  Measured alternatives that did NOT help

@@ -14,10 +14,17 @@ TPU vector units have no per-lane gather, so this kernel re-expresses the
   two-hot weight matrix ``(W, BI*W)`` applied on the MXU to the field
   arranged ``(H*C, W)`` — ONE matmul per row-block covering every channel
   and every candidate source row at once: ``T (H*C, BI*W)``;
-* vertical: picking rows ``y0/y1`` out of ``T`` is a binary select tree
-  over the leading (power-of-2-padded) row axis — log2(H) vectorised
-  ``where`` passes whose operands genuinely halve each level — followed by
-  the fractional ``wy`` blend.
+* vertical: rows ``y0/y1`` and the fractional ``wy`` blend collapse into a
+  single two-hot mask-reduce — a ``(H, M)`` weight array holding ``1-wy``
+  at row ``y0`` and ``wy`` at row ``y1``, multiplied into ``T`` and
+  sum-reduced over the row axis (the channel-separating row sum itself is
+  a tiny constant 0/1 matmul on the MXU).  One read of ``T`` and no
+  intermediate writes, vs the earlier log2(H) select-tree passes (which
+  read ~2x and wrote ~1x the operand, needed power-of-2 row padding, and
+  ran twice — once per source row — before a separate blend; measured
+  1.2-1.3x slower at the 128^2 training shape, a tie at the smaller
+  pyramid levels where the ~3 ms dispatch floor dominates;
+  BENCH_NOTES.md).
 
 Mosaic constraints honoured throughout: no 1-D vectors, no reshapes that
 merge/split the minor (lane) dim, no minor-dim broadcasts.  All per-pixel
@@ -44,27 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 WARP_DTYPE = jnp.bfloat16
 
 
-def _tree_select(t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Per-pixel dynamic row pick ``t[idx[0, m], :, m]`` as a select tree.
-
-    ``t``: (R, C, M) with R a power of two; ``idx``: (1, M) int32 in
-    [0, R).  log2(R) vectorised ``where`` passes instead of a gather; the
-    row axis is leading, so each level's operand really halves.
-    """
-    r = t.shape[0]
-    while r > 1:
-        half = r // 2
-        # i1 vectors can't be reshaped/expanded on TPU — shape the condition
-        # by a leading-dim broadcast of an int32 comparison
-        hi = jnp.where(idx >= half, 1, 0)[None]          # (1, 1, M)
-        t = jnp.where(hi == 1, t[half:r], t[:half])
-        idx = idx - jnp.where(idx >= half, half, 0)
-        r = half
-    return t[0]                                          # (C, M)
-
-
-def _warp_kernel(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
-                 hpad: int):
+def _warp_kernel(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int):
     """One (image, row-block) grid step.
 
     ft_ref: (1, H*C, W) field with rows (source row, channel); xs/ys_ref:
@@ -92,22 +79,32 @@ def _warp_kernel(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
            + jnp.where(s == x1, wx, zero)).astype(WARP_DTYPE)
 
     # (H*C, W) @ (W, M): every channel's horizontally-interpolated value at
-    # every candidate source row, in one MXU pass per row-block.  The select
-    # trees run on bf16 (tree passes are pure selection, no arithmetic):
-    # halving the VPU bytes is a measured 1.47x on the whole kernel
-    # (N=120: 13.2 -> 8.9 ms) for one extra f32->bf16 rounding, ~1e-2 abs
-    # on O(1) poly coefficients — inside the flow pipeline's cv2 tolerance.
+    # every candidate source row, in one MXU pass per row-block.  The
+    # vertical pass runs on bf16 (one extra f32->bf16 rounding, ~1e-2 abs
+    # on O(1) poly coefficients — inside the flow pipeline's cv2 tolerance).
     t = jnp.dot(ft_ref[0].astype(WARP_DTYPE), wxt,
                 preferred_element_type=jnp.float32)      # (H*C, M)
-    t = t.astype(WARP_DTYPE).reshape(h, c, t.shape[-1])
-    if hpad != h:
-        t = jnp.concatenate(
-            [t, jnp.zeros((hpad - h,) + t.shape[1:], WARP_DTYPE)], axis=0)
+    m = t.shape[-1]
+    t = t.astype(WARP_DTYPE)
 
-    t0 = _tree_select(t, y0)                             # (C, M)
-    t1 = _tree_select(t, y1)
-    out_ref[0] = (t0.astype(jnp.float32) * (1.0 - wy)
-                  + t1.astype(jnp.float32) * wy)
+    # Vertical two-hot mask-reduce, still in (H*C, M) layout: weight row
+    # (r, ci) by (1-wy) where r==y0 and wy where r==y1 (y0 == y1 at the
+    # bottom border degrades to their sum = the clamped sample, matching
+    # the XLA path), then contract the rows back to channels with a tiny
+    # constant 0/1 matmul on the MXU — no vector reductions, no slicing.
+    # (building this at (H, M) + a middle-axis broadcast_to measured SLOWER
+    # — Mosaic materialises the replication as a real copy)
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (h, c, m), 0).reshape(h * c, m)       # source row id
+    wv = (jnp.where(ri == y0, 1.0 - wy, zero)
+          + jnp.where(ri == y1, wy, zero)).astype(WARP_DTYPE)
+    # chan_pick[ci, (r, cj)] = 1 iff cj == ci  (cj = column index mod c;
+    # built with iota arithmetic — reshapes must not touch the lane dim)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (c, h * c), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, h * c), 0)
+    chan_pick = (rc - (rc // c) * c == ci).astype(WARP_DTYPE)
+    out_ref[0] = jnp.dot(chan_pick, t * wv,
+                         preferred_element_type=jnp.float32)  # (C, M)
 
 
 def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
@@ -134,14 +131,13 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
     # (Pallas requires the trailing two block dims divide (8, 128) or match)
     xs = xs.reshape(n, nb, 1, m)
     ys = ys.reshape(n, nb, 1, m)
-    hpad = 1 << (h - 1).bit_length()
 
-    # The select trees' worst-case stack exceeds the default 16M scoped-vmem
-    # budget at 128x128; the chip has far more VMEM than the default cap.
+    # The kernel's working set exceeds the default 16M scoped-vmem budget
+    # at 128x128; the chip has far more VMEM than the default cap.
     params_cls = getattr(pltpu, "CompilerParams", None) or \
         getattr(pltpu, "TPUCompilerParams")
     out = pl.pallas_call(
-        partial(_warp_kernel, h=h, c=c, hpad=hpad),
+        partial(_warp_kernel, h=h, c=c),
         grid=(n, h // bi),
         compiler_params=params_cls(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
