@@ -1,10 +1,14 @@
 """Pallas TPU kernel: 3x3 stride-1 SAME spatial conv as 9 MXU dots.
 
-XLA's generic convolution emitter runs the models' per-frame (1,3,3)
-convs ~5x off the memory/MXU roofline at their small channel counts
-(reference conv blocks: models/mygannet.py:13-28, 104-116; measured
-5.1 ms fwd for the level-1 generator shape whose GEMM roofline is
-~1 ms — BENCH_NOTES.md round-2 notes).  This kernel lowers the conv
+HISTORICAL NOTE (round 3): the "~5x emitter gap" that motivated this
+kernel was a measurement artifact — the round-2 protocol carried a
+~27 ms per-call tunnel overhead and a partial-output reduction that let
+XLA dead-code-eliminate most of the conv under test.  Corrected numbers
+(BENCH_NOTES.md "Round 3: measurement recalibration") put XLA's emitter
+at 48-79%% of v5e bf16 peak on every model shape, and this kernel ties
+it at best.  It stays in-tree as a measured experiment and as the
+repo's reference for a Mosaic direct conv.  (Reference conv blocks:
+models/mygannet.py:13-28, 104-116.)  This kernel lowers the conv
 directly: for each of the 9 taps, one ``(H*W, Cin) @ (Cin, Cout)``
 MXU dot accumulated in f32.
 
