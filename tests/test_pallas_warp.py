@@ -40,6 +40,15 @@ def test_warp_nonpow2_height_and_odd_block():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
 
 
+def test_warp_v3_matches_v2():
+    # the production channel-planar kernel vs the superseded interleaved
+    # one: same bf16 rounding points, so they agree to bf16 resolution
+    fields, fx, fy = _case(2, 32, 32, 5, scale=4.0)
+    v2 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v2")
+    v3 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v3")
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), atol=1e-2)
+
+
 def test_warp_integer_flow_is_near_exact():
     # integer displacements make the two-hot weights exactly {0, 1}; the
     # matmul then moves exact field values (bf16 rounding of 0/1 is exact)

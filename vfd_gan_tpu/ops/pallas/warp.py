@@ -8,23 +8,24 @@ positions on a v5e — the single largest slice of the fused train step
 (BENCH_NOTES.md component budget).
 
 TPU vector units have no per-lane gather, so this kernel re-expresses the
-2-D bilinear sample exactly as structured compute:
+2-D bilinear sample exactly as structured compute.  Production variant
+("v3", `_warp_kernel_v3`):
 
-* horizontal: sampling columns ``x0/x1`` with fractional blend ``wx`` is a
-  two-hot weight matrix ``(W, BI*W)`` applied on the MXU to the field
-  arranged ``(H*C, W)`` — ONE matmul per row-block covering every channel
-  and every candidate source row at once: ``T (H*C, BI*W)``;
-* vertical: rows ``y0/y1`` and the fractional ``wy`` blend collapse into a
-  single two-hot mask-reduce — a ``(H, M)`` weight array holding ``1-wy``
-  at row ``y0`` and ``wy`` at row ``y1``, multiplied into ``T`` and
-  sum-reduced over the row axis (the channel-separating row sum itself is
-  a tiny constant 0/1 matmul on the MXU).  One read of ``T`` and no
-  intermediate writes, vs the earlier log2(H) select-tree passes (which
-  read ~2x and wrote ~1x the operand, needed power-of-2 row padding, and
-  ran twice — once per source row — before a separate blend; measured
-  1.2-1.3x slower at the 128^2 training shape, a tie at the smaller
-  pyramid levels where the ~3 ms dispatch floor dominates;
-  BENCH_NOTES.md).
+* both bilinear weight arrays are built ONCE per row-block in closed form
+  ``relu(1 - |coord - idx|)`` — horizontal ``(W, M=BI*W)``, vertical
+  ``(H, M)`` — 4 VPU ops per element and no integer floor/compare chains;
+* each of the C field planes runs a ``(H, W) @ (W, M)`` MXU matmul
+  (horizontal interpolation at every candidate source row) followed by a
+  vertical mask-multiply + row reduce at ``(H, M)``.
+
+The superseded "v2" kernel (kept for bench comparisons,
+tools/bench_warp.py) did the horizontal matmul at the channel-interleaved
+``(H*C, W)`` layout and built its vertical two-hot weights at
+``(H*C, M)`` with compare/select chains — that weight build was the
+dominant non-MXU cost (device profile: 13.4 ms/step at 128^2 vs a ~5 ms
+MXU bound); v3 measured 1.7-2.0x faster at every pyramid level and
+bit-identical on device (BENCH_NOTES.md round 3).  Earlier still: a
+log2(H) select-tree vertical pass, 1.2-1.3x slower than v2.
 
 Mosaic constraints honoured throughout: no 1-D vectors, no reshapes that
 merge/split the minor (lane) dim, no minor-dim broadcasts.  All per-pixel
@@ -107,22 +108,62 @@ def _warp_kernel(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int):
                          preferred_element_type=jnp.float32)  # (C, M)
 
 
+def _warp_kernel_v3(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int):
+    """One (image, row-block) grid step, channel-planar formulation.
+
+    ft_ref: (1, C, H, W) bf16 field planes; xs/ys_ref: (1, 1, 1, M=BI*W)
+    absolute sample coordinates (pre-clamped); out_ref: (1, C, M) f32.
+
+    v2 built the vertical two-hot weights at the channel-interleaved
+    ``(H*C, M)`` — ~6 VPU ops per element of a 640x1024 array per block,
+    the dominant non-MXU cost (device profile: 13.4 ms/step at 128^2 vs a
+    ~5 ms MXU bound).  v3 builds both weight arrays ONCE at ``(W, M)`` /
+    ``(H, M)`` as the closed form ``relu(1 - |coord - idx|)`` (equal to
+    the two-hot: 1-frac at floor, frac at floor+1, and the clamped-border
+    sum-of-hots degeneracy falls out of |coord - idx| = 0), then loops
+    the C=5 field planes through a (H, W) @ (W, M) MXU matmul and a
+    vertical mask-reduce at (H, M).
+    """
+    xs = xs_ref[0, 0]                                    # (1, M) f32
+    ys = ys_ref[0, 0]
+    _, _, _, w = ft_ref.shape
+    m = xs.shape[-1]
+
+    # Horizontal weights (W, M): wxt[s, m] = relu(1 - |xs[m] - s|).
+    si = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0).astype(jnp.float32)
+    wxt = jnp.maximum(1.0 - jnp.abs(xs - si), 0.0).astype(WARP_DTYPE)
+    # Vertical weights (H, M): vw[r, m] = relu(1 - |ys[m] - r|).
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, m), 0).astype(jnp.float32)
+    vw = jnp.maximum(1.0 - jnp.abs(ys - ri), 0.0).astype(WARP_DTYPE)
+
+    for ci in range(c):
+        # (H, W) @ (W, M): horizontally-interpolated plane at every
+        # candidate source row.  The vertical blend runs in bf16 (at most
+        # two non-zero weight rows per column, so accumulation order is
+        # immaterial); one extra bf16 rounding vs f32, inside the flow
+        # pipeline's documented cv2 tolerance.
+        t = jnp.dot(ft_ref[0, ci], wxt,
+                    preferred_element_type=jnp.float32)  # (H, M) f32
+        out_ref[0, ci] = jnp.sum(t.astype(WARP_DTYPE) * vw, axis=0,
+                                 dtype=jnp.float32)      # (M,) f32
+
+
 def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
                          flow_y: jnp.ndarray, *,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         variant: str = "v3") -> jnp.ndarray:
     """Drop-in for ops/flow._bilinear_warp on TPU backends.
 
     fields (N, H, W, C) float; flow_x/flow_y (N, H, W) displacements added
     to the pixel grid and clamped to the image bounds (cv2 convention).
+    ``variant`` selects the kernel formulation ("v3" default; "v2" kept
+    for bench comparisons, tools/bench_warp.py).
     """
     n, h, w, c = fields.shape
     ys = jnp.clip(jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y,
                   0.0, h - 1.0).reshape(n, h * w)
     xs = jnp.clip(jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x,
                   0.0, w - 1.0).reshape(n, h * w)
-    # rows = (source row, channel) so one matmul covers all channels
-    ft = jnp.transpose(fields.astype(jnp.float32),
-                       (0, 1, 3, 2)).reshape(n, h * c, w)
 
     bi = next(b for b in (8, 4, 2, 1) if h % b == 0)
     m = bi * w
@@ -136,10 +177,38 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
     # at 128x128; the chip has far more VMEM than the default cap.
     params_cls = getattr(pltpu, "CompilerParams", None) or \
         getattr(pltpu, "TPUCompilerParams")
+    compiler_params = params_cls(vmem_limit_bytes=100 * 1024 * 1024)
+
+    if variant == "v3":
+        # channel-planar layout; the f32->bf16 cast runs in XLA where it
+        # fuses with the transpose (and halves the field DMA).
+        ft = jnp.transpose(fields, (0, 3, 1, 2)).astype(WARP_DTYPE)
+        out = pl.pallas_call(
+            partial(_warp_kernel_v3, h=h, c=c),
+            grid=(n, nb),
+            compiler_params=compiler_params,
+            in_specs=[
+                pl.BlockSpec((1, c, h, w), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, m), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, m), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c, m), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, c, h * w), jnp.float32),
+            interpret=interpret,
+        )(ft, xs, ys)
+        return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
+
+    # rows = (source row, channel) so one matmul covers all channels
+    ft = jnp.transpose(fields.astype(jnp.float32),
+                       (0, 1, 3, 2)).reshape(n, h * c, w)
     out = pl.pallas_call(
         partial(_warp_kernel, h=h, c=c),
-        grid=(n, h // bi),
-        compiler_params=params_cls(vmem_limit_bytes=100 * 1024 * 1024),
+        grid=(n, nb),
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((1, h * c, w), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
