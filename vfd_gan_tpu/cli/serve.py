@@ -329,6 +329,10 @@ def make_handler(server: InferenceServer):
 def serve(args) -> ThreadingHTTPServer:
     """Build the server (used by main() and the tests)."""
     from vfd_gan_tpu.cli.infer import _load
+    from vfd_gan_tpu.utils.runtime import enable_compilation_cache
+
+    # warm restarts skip the multi-minute remote XLA compile (docs/SERVING.md)
+    enable_compilation_cache()
     model, variables, name = _load(args.ckpt, args.torch_ckpt)
     inf = InferenceServer(model, variables, name, isize=args.isize,
                           nfr=args.nfr, max_batch=args.max_batch,

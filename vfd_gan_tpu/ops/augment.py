@@ -46,11 +46,11 @@ def sample_clip_params(key, batch: int, stage: int, isize: int,
     return angle, crop_y, crop_x, flip
 
 
-def _warp_clip(frames, angle, crop_y, crop_x, flip, isize: int):
-    """Rotate+crop+flip one clip ``(T, S, S, C)`` via a single gather."""
-    t, s, _, c = frames.shape
+def _src_coords(angle, crop_y, crop_x, flip, s: int, isize: int):
+    """Floored (src_x, src_y) f32 maps ``(isize, isize)`` for one clip's
+    rotate+crop+flip draw (PIL.Image.rotate nearest-resample calibration,
+    see module docstring)."""
     cx = cy = s / 2.0
-
     out_x = jnp.arange(isize, dtype=jnp.float32)
     out_y = jnp.arange(isize, dtype=jnp.float32)
     # flip acts on the cropped result -> mirror the output column index
@@ -59,8 +59,18 @@ def _warp_clip(frames, angle, crop_y, crop_x, flip, isize: int):
     y = out_y[:, None] + crop_y + 0.5 - cy          # (isize, 1)
 
     cos, sin = jnp.cos(angle), jnp.sin(angle)
-    src_x = jnp.floor(cos * x - sin * y + cx).astype(jnp.int32)
-    src_y = jnp.floor(sin * x + cos * y + cy).astype(jnp.int32)
+    src_x = jnp.floor(cos * x - sin * y + cx)
+    src_y = jnp.floor(sin * x + cos * y + cy)
+    return (jnp.broadcast_to(src_x, (isize, isize)),
+            jnp.broadcast_to(src_y, (isize, isize)))
+
+
+def _warp_clip(frames, angle, crop_y, crop_x, flip, isize: int):
+    """Rotate+crop+flip one clip ``(T, S, S, C)`` via a single gather."""
+    t, s, _, c = frames.shape
+    src_x, src_y = _src_coords(angle, crop_y, crop_x, flip, s, isize)
+    src_x = src_x.astype(jnp.int32)
+    src_y = src_y.astype(jnp.int32)
 
     valid = ((src_x >= 0) & (src_x < s) & (src_y >= 0) & (src_y < s))
     flat = jnp.clip(src_y, 0, s - 1) * s + jnp.clip(src_x, 0, s - 1)
@@ -69,20 +79,41 @@ def _warp_clip(frames, angle, crop_y, crop_x, flip, isize: int):
     return jnp.where(valid[None, :, :, None], gathered, 0)
 
 
-def augment_clips(key, data, real, mask, isize: int, degrees: float = 10.0):
+def augment_clips(key, data, real, mask, isize: int, degrees: float = 10.0,
+                  use_pallas: bool | None = None, interpret: bool = False):
     """Jointly augment a staged batch; returns float32 (data, real, mask).
 
     Inputs: uint8 ``(B, T, S, S, C)`` with S = staging_size(isize).
     Outputs: data/real in [-1, 1], mask in [0, 1], all ``(B, T, isize,
     isize, C)``.
+
+    ``use_pallas=True`` routes the gather through the one-hot MXU-matmul
+    kernel (ops/pallas/augment.py; bit-exact vs the XLA gather).  It is
+    OFF by default: measured 4.18 ms vs the XLA uint8 gather's 2.13 ms at
+    the reference workload (tools/bench_augment.py; the kernel's MXU bound
+    is K-padded 140->256, and uint8 gathers are ~3x cheaper per position
+    than the f32 flow-warp gathers were) — kept as a measured experiment,
+    BENCH_NOTES.md "Augment one-hot kernel".
     """
     b, _, s, _, _ = data.shape
     angle, crop_y, crop_x, flip = sample_clip_params(key, b, s, isize, degrees)
 
-    warp = jax.vmap(_warp_clip, in_axes=(0, 0, 0, 0, 0, None))
-    d = warp(data, angle, crop_y, crop_x, flip, isize)
-    r = warp(real, angle, crop_y, crop_x, flip, isize)
-    m = warp(mask, angle, crop_y, crop_x, flip, isize)
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from vfd_gan_tpu.ops.pallas.augment import augment_gather_pallas
+        src_x, src_y = jax.vmap(_src_coords, in_axes=(0, 0, 0, 0, None, None)
+                                )(angle, crop_y, crop_x, flip, s, isize)
+        joint = jnp.concatenate([data, real, mask], axis=-1)
+        out = augment_gather_pallas(joint, src_x, src_y, isize,
+                                    interpret=interpret)
+        cd, cr = data.shape[-1], real.shape[-1]
+        d, r, m = (out[..., :cd], out[..., cd:cd + cr], out[..., cd + cr:])
+    else:
+        warp = jax.vmap(_warp_clip, in_axes=(0, 0, 0, 0, 0, None))
+        d = warp(data, angle, crop_y, crop_x, flip, isize)
+        r = warp(real, angle, crop_y, crop_x, flip, isize)
+        m = warp(mask, angle, crop_y, crop_x, flip, isize)
     d = d.astype(jnp.float32) / 255.0 * 2.0 - 1.0
     r = r.astype(jnp.float32) / 255.0 * 2.0 - 1.0
     m = m.astype(jnp.float32) / 255.0
