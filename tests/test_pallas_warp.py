@@ -49,6 +49,15 @@ def test_warp_v3_matches_v2():
     np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), atol=1e-2)
 
 
+def test_warp_v4_matches_v3():
+    # the folded-channel-loop experiment (kept for bench comparisons only —
+    # measured slower on device, BENCH_NOTES.md round 3) must stay correct
+    fields, fx, fy = _case(2, 32, 32, 5, scale=4.0)
+    v3 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v3")
+    v4 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v4")
+    np.testing.assert_allclose(np.asarray(v4), np.asarray(v3), atol=1e-2)
+
+
 def test_warp_integer_flow_is_near_exact():
     # integer displacements make the two-hot weights exactly {0, 1}; the
     # matmul then moves exact field values (bf16 rounding of 0/1 is exact)

@@ -148,6 +148,48 @@ def _warp_kernel_v3(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int):
                                  dtype=jnp.float32)      # (M,) f32
 
 
+def _warp_kernel_v4(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int):
+    """v3 with the channel loop folded into the MXU.
+
+    ft_ref: (1, C, H, W) bf16 planes; xs/ys_ref: (1, 1, 1, M); out (1, C, M).
+
+    **Measured SLOWER than v3 at every pyramid level** (N=120 scan
+    protocol: 128^2 2.71 vs 2.43 ms, 64^2 0.65 vs 0.57, 32^2 0.27 vs
+    0.21) — the (C*H, M) masked re-stack is a real VMEM copy and the
+    chan_pick matmul adds MXU work without removing the per-column
+    multiplies.  Kept for bench comparisons only (tools/bench_warp.py).
+
+    Differences vs v3 (same closed-form weights):
+    * ONE ``(C*H, W) @ (W, M)`` horizontal matmul instead of C small ones
+      (the plane stack reshapes only leading dims — lane layout untouched);
+    * the vertical reduce runs on the MXU: per-channel ``t ⊙ vw`` slices
+      re-stacked and contracted with a constant 0/1 channel-pick matrix,
+      replacing C sublane f32 row-reduces with one tiny matmul.
+    """
+    xs = xs_ref[0, 0]                                    # (1, M) f32
+    ys = ys_ref[0, 0]
+    _, _, _, w = ft_ref.shape
+    m = xs.shape[-1]
+
+    si = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0).astype(jnp.float32)
+    wxt = jnp.maximum(1.0 - jnp.abs(xs - si), 0.0).astype(WARP_DTYPE)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, m), 0).astype(jnp.float32)
+    vw = jnp.maximum(1.0 - jnp.abs(ys - ri), 0.0).astype(WARP_DTYPE)
+
+    t = jnp.dot(ft_ref[0].reshape(c * h, w), wxt,
+                preferred_element_type=jnp.float32)      # (C*H, M)
+    t = t.astype(WARP_DTYPE)
+    masked = jnp.concatenate(
+        [t[ci * h:(ci + 1) * h] * vw for ci in range(c)], axis=0)
+    # chan_pick[ci, r] = 1 iff r // h == ci: contract rows -> channels on
+    # the MXU (FLOPs are trivial; replaces C vector row-reduces).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, c * h), 1)
+    cis = jax.lax.broadcasted_iota(jnp.int32, (c, c * h), 0)
+    chan_pick = (rows // h == cis).astype(WARP_DTYPE)
+    out_ref[0] = jnp.dot(chan_pick, masked,
+                         preferred_element_type=jnp.float32)  # (C, M)
+
+
 def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
                          flow_y: jnp.ndarray, *,
                          interpret: bool = False,
@@ -179,12 +221,13 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
         getattr(pltpu, "TPUCompilerParams")
     compiler_params = params_cls(vmem_limit_bytes=100 * 1024 * 1024)
 
-    if variant == "v3":
+    if variant in ("v3", "v4"):
         # channel-planar layout; the f32->bf16 cast runs in XLA where it
         # fuses with the transpose (and halves the field DMA).
+        kern = _warp_kernel_v3 if variant == "v3" else _warp_kernel_v4
         ft = jnp.transpose(fields, (0, 3, 1, 2)).astype(WARP_DTYPE)
         out = pl.pallas_call(
-            partial(_warp_kernel_v3, h=h, c=c),
+            partial(kern, h=h, c=c),
             grid=(n, nb),
             compiler_params=compiler_params,
             in_specs=[
