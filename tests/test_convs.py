@@ -106,6 +106,70 @@ def test_max_pool3d_matches_torch():
     np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)), atol=1e-6)
 
 
+@pytest.mark.parametrize("kt,pad", [(3, 1), (3, 0), (2, 1), (5, 2), (3, 2)])
+def test_temporal_conv_custom_vjp_matches_torch_autograd(kt, pad):
+    """The hand-written stride-1 backward (ops/convs._tc_s1_bwd) vs torch.
+
+    The custom VJP replaces autodiff's pad-then-add slice gradients with
+    transposed shifted GEMMs; both input and kernel grads must match the
+    ``nn.Conv3d`` oracle exactly (reference block structure
+    models/mygannet.py:13-28).  It is off by default (measured slower on
+    the fused step, BENCH_NOTES.md round 3) so the test targets it
+    directly.
+    """
+    import jax
+
+    from vfd_gan_tpu.ops.convs import _temporal_conv_s1
+
+    x = _video()
+    w = rng.normal(size=(kt, CIN, COUT)).astype(np.float32) * 0.1
+    cot = rng.normal(
+        size=(B, T + 2 * pad - kt + 1, H, W, COUT)).astype(np.float32)
+
+    def loss(xj, wj):
+        return jnp.sum(_temporal_conv_s1(xj, wj, pad, pad) * jnp.asarray(cot))
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).requires_grad_()
+    wt = torch.from_numpy(
+        np.transpose(w[:, None, None], (4, 3, 0, 1, 2))).requires_grad_()
+    y = F.conv3d(xt, wt, padding=(pad, 0, 0))
+    y.backward(torch.from_numpy(np.transpose(cot, (0, 4, 1, 2, 3))))
+
+    np.testing.assert_allclose(
+        np.asarray(dx), np.transpose(xt.grad.numpy(), (0, 2, 3, 4, 1)),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dw),
+        np.transpose(wt.grad.numpy(), (2, 3, 4, 1, 0))[:, 0, 0],
+        atol=1e-4)
+
+
+def test_temporal_conv_oversize_padding_falls_back(monkeypatch):
+    """With the custom VJP enabled, pad > kt-1 must fall back to autodiff
+    (the transposed-GEMM backward's zero-pad ``kt-1-pad`` would go
+    negative) and still produce identical gradients."""
+    import jax
+
+    from vfd_gan_tpu.ops import convs
+
+    monkeypatch.setattr(convs, "_TC_CUSTOM_VJP", True)
+    x = jnp.asarray(_video())
+    w = jnp.asarray(rng.normal(size=(3, CIN, COUT)).astype(np.float32) * 0.1)
+
+    def loss_custom(xj, wj):
+        return jnp.sum(temporal_conv(xj, wj, padding=4) ** 2)
+
+    def loss_plain(xj, wj):
+        return jnp.sum(convs._tc_s1_impl(xj, wj, 4, 4) ** 2)
+
+    gx1, gw1 = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_plain, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-5)
+
+
 def test_r2plus1d_mid_channels_formula():
     # M = floor(t*k*k*Cin*Cout / (k*k*Cin + t*Cout))
     # (models/spatiotempconv.py:44-45)

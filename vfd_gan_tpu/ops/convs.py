@@ -19,9 +19,19 @@ Layout is channel-last ``(B, T, H, W, C)`` everywhere; kernels are stored in
 
 from __future__ import annotations
 
+import os
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Opt-in toggle for the hand-written stride-1 temporal-conv backward.
+# Measured SLOWER than XLA autodiff on the fused GAN step (110.5 -> 116.4
+# ms/step interleaved A/B, BENCH_NOTES.md round 3) — autodiff is the
+# production default; the custom VJP stays in-tree as the measured
+# negative result.
+_TC_CUSTOM_VJP = os.environ.get("VFD_TC_CUSTOM_VJP", "0") != "0"
 
 
 def spatial_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
@@ -70,16 +80,9 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
         pad_lo = pad_hi = padding
 
     if stride == 1:
-        xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
-        tout = t + pad_lo + pad_hi - kt + 1
-        out = None
-        for dt in range(kt):
-            term = jnp.einsum(
-                "bthwc,cd->bthwd", xp[:, dt:dt + tout],
-                kernel[dt].astype(x.dtype),
-                preferred_element_type=jnp.float32)
-            out = term if out is None else out + term
-        return out.astype(x.dtype)
+        if _TC_CUSTOM_VJP and pad_lo <= kt - 1 and pad_hi <= kt - 1:
+            return _temporal_conv_s1(x, kernel, pad_lo, pad_hi)
+        return _tc_s1_impl(x, kernel, pad_lo, pad_hi)
 
     y = x.reshape(b, t, h * w, c)
     y = lax.conv_general_dilated(
@@ -89,6 +92,84 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y.reshape(b, y.shape[1], h, w, -1)
+
+
+def _tc_s1_impl(x: jnp.ndarray, kernel: jnp.ndarray, pad_lo: int,
+                pad_hi: int) -> jnp.ndarray:
+    """Stride-1 temporal conv as ``kt`` frame-shifted channel matmuls."""
+    b, t, h, w, c = x.shape
+    kt = kernel.shape[0]
+    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+    tout = t + pad_lo + pad_hi - kt + 1
+    out = None
+    for dt in range(kt):
+        term = jnp.einsum(
+            "bthwc,cd->bthwd", xp[:, dt:dt + tout],
+            kernel[dt].astype(x.dtype),
+            preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+    return out.astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _temporal_conv_s1(x, kernel, pad_lo, pad_hi):
+    """``_tc_s1_impl`` with a hand-written backward.  **Measured loser.**
+
+    Motivation: autodiff of the shifted-einsum forward turns each
+    ``xp[:, dt:dt+tout]`` slice-gradient into a pad-then-add over the
+    padded frame axis, which a round-3 device profile suggested cost
+    ~4 ms/step of pure data motion.  The hand-written VJP uses the
+    transposed-convolution identity instead — both gradients are again
+    just ``kt`` dense shifted GEMMs:
+
+    * ``d_x[i] = sum_dt g[i + pad_lo - dt] @ k[dt]^T`` (correlation with the
+      flipped kernel, zero-padded ``(kt-1-pad_lo, kt-1-pad_hi)`` — hence the
+      ``pad <= kt-1`` guard on this path);
+    * ``d_k[dt] = einsum over (b, tau, h, w) of xp[:, dt+tau] x g[tau]``.
+
+    Tap sums accumulate in f32 exactly like the forward.
+
+    Measured on the fused GAN step (interleaved A/B, warm cache): custom
+    VJP 116.4 ms vs autodiff 110.5 ms — the "saved" pad-adds were fusing
+    into adjacent ops all along, and the explicit transposed GEMMs +
+    ``jnp.stack`` d_k reductions cost more than they save.  Off by
+    default (``VFD_TC_CUSTOM_VJP=1`` re-enables for benchmarking);
+    gradient parity vs torch is pinned by
+    tests/test_convs.py::test_temporal_conv_custom_vjp_matches_torch_autograd.
+    """
+    return _tc_s1_impl(x, kernel, pad_lo, pad_hi)
+
+
+def _tc_s1_fwd(x, kernel, pad_lo, pad_hi):
+    return _tc_s1_impl(x, kernel, pad_lo, pad_hi), (x, kernel)
+
+
+def _tc_s1_bwd(pad_lo, pad_hi, res, g):
+    x, kernel = res
+    b, t, h, w, c = x.shape
+    kt = kernel.shape[0]
+    tout = g.shape[1]
+    gc = g.astype(x.dtype)
+
+    gp = jnp.pad(gc, ((0, 0), (kt - 1 - pad_lo, kt - 1 - pad_hi),
+                      (0, 0), (0, 0), (0, 0)))
+    dx = None
+    for dt in range(kt):
+        term = jnp.einsum(
+            "bthwd,cd->bthwc", gp[:, dt:dt + t],
+            kernel[kt - 1 - dt].astype(x.dtype),
+            preferred_element_type=jnp.float32)
+        dx = term if dx is None else dx + term
+
+    xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+    dk = jnp.stack([
+        jnp.einsum("bthwc,bthwd->cd", xp[:, dt:dt + tout], gc,
+                   preferred_element_type=jnp.float32)
+        for dt in range(kt)], axis=0)
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+_temporal_conv_s1.defvjp(_tc_s1_fwd, _tc_s1_bwd)
 
 
 def _same_pad_1d(size: int, k: int, stride: int, mode: str) -> tuple[int, int]:
