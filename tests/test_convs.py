@@ -87,6 +87,30 @@ def test_avg_pool3d_matches_torch(window):
     np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)), atol=1e-6)
 
 
+@pytest.mark.parametrize("window", [(1, 2, 2), (2, 2, 2), (2, 1, 1)])
+def test_block_avg_pool_grad_matches_torch(window):
+    """The reduce_window block pool's hand-written VJP
+    (ops/convs._block_avg_pool_bwd) vs torch AvgPool3d autograd."""
+    import jax
+
+    x = _video()
+    wt, wh, ww = window
+    cot = rng.normal(
+        size=(B, T // wt, H // wh, W // ww, CIN)).astype(np.float32)
+
+    def loss(xj):
+        return jnp.sum(avg_pool3d(xj, window) * jnp.asarray(cot))
+
+    dx = jax.grad(loss)(jnp.asarray(x))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).requires_grad_()
+    y = F.avg_pool3d(xt, window)
+    y.backward(torch.from_numpy(np.transpose(cot, (0, 4, 1, 2, 3))))
+    np.testing.assert_allclose(
+        np.asarray(dx), np.transpose(xt.grad.numpy(), (0, 2, 3, 4, 1)),
+        atol=1e-6)
+
+
 def test_global_avg_pool_with_stride1():
     # SDisc's global temporal pool AvgPool3d((nfr,1,1), stride=1)
     # (mygannet.py:133)
