@@ -62,6 +62,49 @@ def test_conv3d_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.parametrize("cout,pad", [(1, 1), (4, 1), (1, 0)])
+def test_conv3d_tap_gemm_head_path_matches_torch(cout, pad):
+    """Small-Cout convs route through ops/convs._tap_gemm_conv3d on TPU
+    backends (the head-conv GEMM path); values must match ``nn.Conv3d``
+    exactly.  Tested directly — the dispatch is TPU-only."""
+    from vfd_gan_tpu.ops.convs import _tap_gemm_conv3d
+
+    x = _video()
+    w = rng.normal(size=(3, 3, 3, CIN, cout)).astype(np.float32) * 0.1
+    got = np.asarray(_tap_gemm_conv3d(
+        jnp.asarray(x), jnp.asarray(w), [(pad, pad)] * 3))
+    want = _torch_conv3d(x, w, padding=(pad, pad, pad))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv3d_tap_gemm_grads_match_torch():
+    import jax
+
+    from vfd_gan_tpu.ops.convs import _tap_gemm_conv3d
+
+    x = _video()
+    w = rng.normal(size=(3, 3, 3, CIN, 1)).astype(np.float32) * 0.1
+    cot = rng.normal(size=(B, T, H, W, 1)).astype(np.float32)
+
+    def loss(xj, wj):
+        return jnp.sum(_tap_gemm_conv3d(xj, wj, [(1, 1)] * 3)
+                       * jnp.asarray(cot))
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).requires_grad_()
+    wt = torch.from_numpy(
+        np.transpose(w, (4, 3, 0, 1, 2))).requires_grad_()
+    y = F.conv3d(xt, wt, padding=1)
+    y.backward(torch.from_numpy(np.transpose(cot, (0, 4, 1, 2, 3))))
+    np.testing.assert_allclose(
+        np.asarray(dx), np.transpose(xt.grad.numpy(), (0, 2, 3, 4, 1)),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dw),
+        np.transpose(wt.grad.numpy(), (2, 3, 4, 1, 0)), atol=1e-4)
+
+
 def test_conv3d_transpose_matches_torch():
     # AnoGAN uses ConvTranspose3d(k=3, stride=2, pad=1, out_pad=1)
     # (anogan.py:51-69)
@@ -80,18 +123,26 @@ def test_conv3d_transpose_matches_torch():
 
 @pytest.mark.parametrize("window", [(2, 2, 2), (1, 2, 2), (2, 1, 1)])
 def test_avg_pool3d_matches_torch(window):
+    from vfd_gan_tpu.ops.convs import _block_avg_pool
+
     x = _video()
     got = np.asarray(avg_pool3d(jnp.asarray(x), window))
     xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
-    want = F.avg_pool3d(xt, window).numpy()
-    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)), atol=1e-6)
+    want = np.transpose(F.avg_pool3d(xt, window).numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # the TPU reduce_window path, checked directly (dispatch is TPU-only)
+    got_rw = np.asarray(_block_avg_pool(jnp.asarray(x), window))
+    np.testing.assert_allclose(got_rw, want, atol=1e-6)
 
 
 @pytest.mark.parametrize("window", [(1, 2, 2), (2, 2, 2), (2, 1, 1)])
 def test_block_avg_pool_grad_matches_torch(window):
     """The reduce_window block pool's hand-written VJP
-    (ops/convs._block_avg_pool_bwd) vs torch AvgPool3d autograd."""
+    (ops/convs._block_avg_pool_bwd) vs torch AvgPool3d autograd.
+    Tested directly — avg_pool3d dispatches to it on TPU backends only."""
     import jax
+
+    from vfd_gan_tpu.ops.convs import _block_avg_pool
 
     x = _video()
     wt, wh, ww = window
@@ -99,7 +150,7 @@ def test_block_avg_pool_grad_matches_torch(window):
         size=(B, T // wt, H // wh, W // ww, CIN)).astype(np.float32)
 
     def loss(xj):
-        return jnp.sum(avg_pool3d(xj, window) * jnp.asarray(cot))
+        return jnp.sum(_block_avg_pool(xj, window) * jnp.asarray(cot))
 
     dx = jax.grad(loss)(jnp.asarray(x))
 

@@ -192,12 +192,65 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, *,
     """
     if isinstance(padding, int):
         padding = [(padding, padding)] * 3
+    kt, kh, kw, _, cout = kernel.shape
+    # TPU-only: on CPU the 27-slice tap sum is ~1000x off (single-core
+    # memcpy loops), and the XLA conv emitter there is fine.
+    # VFD_HEAD_TAP_GEMM=0 falls back to the XLA emitter (A/B escape hatch).
+    if stride == (1, 1, 1) and kt * kh * kw * cout <= 128 \
+            and jax.default_backend() == "tpu" \
+            and os.environ.get("VFD_HEAD_TAP_GEMM", "1") != "0":
+        return _tap_gemm_conv3d(x, kernel, padding)
     return lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+
+
+def _tap_gemm_conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
+                     padding) -> jnp.ndarray:
+    """Small-Cout 3-D conv as ONE channel GEMM + shifted tap sum.
+
+    XLA's conv emitter leaves the MXU lane dim ``Cout/128`` occupied for
+    the models' head convs — the (3,3,3,32,1) MyGAN head ran ~300x off
+    roofline at ~5.3 ms/step fwd+bwd including a forced layout copy and a
+    separate filter-grad pass (round-3 device trace, fusion.87).  Instead:
+
+    * ``P[b,t,h,w,(dt,dh,dw,o)] = sum_c x[...,c] * k[dt,dh,dw,c,o]`` — one
+      ``(B*T*H*W, C) @ (C, taps*Cout)`` GEMM with the taps in the lane dim
+      (27*Cout lanes vs Cout);
+    * ``y[...,o] = sum_j P`` at the tap's shifted offset — ``taps`` cheap
+      slice-adds, accumulated in f32 (the products carry one bf16 rounding
+      from the GEMM output cast, same trade as the temporal convs).
+
+    Measured (tools/bench_head_conv.py, scan protocol): MyGAN head fwd
+    4.67 -> 0.43 ms, fwd+bwd 9.54 -> 2.93 ms; im2col loses badly (36 ms —
+    the 27x operand materialisation).  Gradients flow through autodiff
+    (the temporal-conv custom-VJP A/B showed XLA's transpose of this
+    pattern is already fusion-friendly).
+    """
+    b, t, h, w, c = x.shape
+    kt, kh, kw, _, cout = kernel.shape
+    k2 = jnp.transpose(kernel, (3, 0, 1, 2, 4)).reshape(
+        c, kt * kh * kw * cout)
+    p = jnp.einsum("bthwc,cm->bthwm", x, k2.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    (p0, p1), (q0, q1), (r0, r1) = padding
+    pp = jnp.pad(p, ((0, 0), (p0, p1), (q0, q1), (r0, r1), (0, 0)))
+    tout = t + p0 + p1 - kt + 1
+    hout = h + q0 + q1 - kh + 1
+    wout = w + r0 + r1 - kw + 1
+    acc = None
+    j = 0
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw in range(kw):
+                sl = pp[:, dt:dt + tout, dh:dh + hout, dw:dw + wout,
+                        j * cout:(j + 1) * cout].astype(jnp.float32)
+                acc = sl if acc is None else acc + sl
+                j += 1
+    return acc.astype(x.dtype)
 
 
 def conv3d_transpose(x: jnp.ndarray, kernel: jnp.ndarray, *,
@@ -239,7 +292,14 @@ def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
     b, t, h, w, c = x.shape
     if stride == window and t % window[0] == 0 and h % window[1] == 0 \
             and w % window[2] == 0:
-        return _block_avg_pool(x, window)
+        # reduce_window only on TPU (dedicated pooling emitter keeps the
+        # conv layout); CPU XLA lowers reduce_window to a naive window
+        # loop that is far slower than the reshape-mean.
+        if jax.default_backend() == "tpu":
+            return _block_avg_pool(x, window)
+        wt, wh, ww = window
+        y = x.reshape(b, t // wt, wt, h // wh, wh, w // ww, ww, c)
+        return y.mean(axis=(2, 4, 6))
     if stride == (1, 1, 1) and all(
             window[i] in (1, (t, h, w)[i]) for i in range(3)):
         axes = tuple(i + 1 for i in range(3) if window[i] != 1)
