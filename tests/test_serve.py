@@ -160,6 +160,97 @@ def test_http_endpoints():
         srv.close()
 
 
+def test_http_predict_stream():
+    """Streaming ingestion: clips trickled over a raw socket, NDJSON score
+    lines streamed back per clip, values matching the blocking /predict."""
+    import socket
+    from http.server import ThreadingHTTPServer
+
+    srv = _make_server(max_batch=2, max_wait_ms=5.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    httpd.inference = srv
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(4)
+        k = 5
+        clips = rng.uniform(-1, 1, (k, T, S, S, 3)).astype(np.float32)
+        body = clips.tobytes()
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as sk:
+            sk.sendall((f"POST /predict_stream HTTP/1.0\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n").encode())
+            # trickle the body one clip at a time (the point of streaming)
+            clip_bytes = len(body) // k
+            for i in range(k):
+                sk.sendall(body[i * clip_bytes:(i + 1) * clip_bytes])
+            raw = b""
+            while True:
+                chunk = sk.recv(65536)
+                if not chunk:
+                    break
+                raw += chunk
+        head, _, payload = raw.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n")[0]
+        lines = [json.loads(ln) for ln in payload.splitlines() if ln]
+        assert [ln["clip"] for ln in lines] == list(range(k))
+        want = srv.predict(clips)[..., 0].reshape(k, T, -1).mean(axis=2)
+        got = np.array([ln["frame_scores"] for ln in lines])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        # bad body size -> 400 before any streaming starts
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict_stream", data=b"123",
+            method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_stream_backpressure_blocks_not_sheds():
+    """With a tiny admission window, the streaming producer must block on
+    the oldest in-flight clip (no 429 shedding) and still score them all."""
+    model = TinyMask()
+    x = np.zeros((1, T, S, S, 3), np.float32)
+    variables = model.init(jax.random.key(0), x)
+    srv = InferenceServer(model, variables, "tiny", isize=S, nfr=T,
+                          max_batch=2, max_wait_ms=1.0, max_queued_clips=1)
+    import socket
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+    httpd.inference = srv
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        k = 4
+        clips = np.random.default_rng(5).uniform(
+            -1, 1, (k, T, S, S, 3)).astype(np.float32)
+        body = clips.tobytes()
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as sk:
+            sk.sendall((f"POST /predict_stream HTTP/1.0\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n").encode())
+            sk.sendall(body)
+            raw = b""
+            while True:
+                chunk = sk.recv(65536)
+                if not chunk:
+                    break
+                raw += chunk
+        lines = [json.loads(ln) for ln in
+                 raw.partition(b"\r\n\r\n")[2].splitlines() if ln]
+        assert [ln["clip"] for ln in lines] == list(range(k))
+        assert all("frame_scores" in ln for ln in lines)
+        assert srv.stats()["shed_requests"] >= 1   # bound was hit, absorbed
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
 def test_http_predict_video(tmp_path):
     from http.server import ThreadingHTTPServer
 

@@ -22,7 +22,11 @@ Endpoints (stdlib ``http.server``; no extra dependencies):
   ``X-Clip-Count: k`` allows ``k`` stacked clips).  Response: JSON with
   per-frame mean mask scores and (optionally, ``?mask=1``) the mask video
   as base64 ``uint8``.
-* ``GET /healthz``   — liveness + model name.
+* ``POST /predict_stream`` — streaming ingestion for long clips: ``k``
+  raw clips read incrementally, each submitted to the batcher as its
+  bytes arrive (ingest overlaps inference); per-clip NDJSON score lines
+  stream back as they complete, with producer backpressure instead of
+  429s when the admission window fills.
 * ``POST /predict_video`` — JSON ``{"video_path": ...}``: server-side
   decode (the training loader's cv2 path), windowed into nfr clips.
 * ``GET /healthz`` / ``GET /stats`` — liveness; requests/clips served,
@@ -172,10 +176,13 @@ class InferenceServer:
                 self.latencies_ms.append(ms)
 
     # -- public API ----------------------------------------------------------
-    def predict(self, clips: np.ndarray, timeout: float = 60.0) -> np.ndarray:
-        """Blocking: enqueue ``(k, T, H, W, 3)`` clips, wait for the batcher.
+    def submit(self, clips: np.ndarray) -> _Work:
+        """Non-blocking: enqueue ``(k, T, H, W, 3)`` clips for the batcher.
 
-        Raises OverloadedError when the admission bound is hit.
+        Returns the pending ``_Work``; redeem it with :meth:`collect`.
+        Raises OverloadedError when the admission bound is hit (the clips
+        are NOT enqueued).  Every successful submit must be collected —
+        the admission count is released there.
         """
         k = int(clips.shape[0])
         with self._stats_lock:
@@ -187,6 +194,11 @@ class InferenceServer:
             self._queued += k
         w = _Work(np.ascontiguousarray(clips, np.float32))
         self._q.put(w)
+        return w
+
+    def collect(self, w: _Work, timeout: float = 60.0) -> np.ndarray:
+        """Blocking: wait for a submitted ``_Work`` and return its masks."""
+        k = int(w.clips.shape[0])
         try:
             if not w.done.wait(timeout):
                 raise TimeoutError("inference timed out")
@@ -198,6 +210,13 @@ class InferenceServer:
         with self._stats_lock:
             self.requests += 1
         return w.pred
+
+    def predict(self, clips: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+        """Blocking: enqueue ``(k, T, H, W, 3)`` clips, wait for the batcher.
+
+        Raises OverloadedError when the admission bound is hit.
+        """
+        return self.collect(self.submit(clips), timeout)
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -247,6 +266,9 @@ def make_handler(server: InferenceServer):
             if self.path.startswith("/predict_video"):
                 self._predict_video()
                 return
+            if self.path.startswith("/predict_stream"):
+                self._predict_stream()
+                return
             if not self.path.startswith("/predict"):
                 self._json(404, {"error": "unknown path"})
                 return
@@ -278,6 +300,85 @@ def make_handler(server: InferenceServer):
                     mask_u8.tobytes()).decode()
                 out["mask_shape"] = list(mask_u8.shape)
             self._json(200, out)
+
+        def _read_exact(self, n: int) -> bytes:
+            buf = bytearray()
+            while len(buf) < n:
+                chunk = self.rfile.read(n - len(buf))
+                if not chunk:
+                    raise ConnectionError(
+                        f"client closed mid-clip ({len(buf)}/{n} bytes)")
+                buf += chunk
+            return bytes(buf)
+
+        def _predict_stream(self):
+            """Streaming ingestion for long clips: the body is ``k`` raw
+            ``(nfr, isize, isize, 3)`` f32-LE clips read *incrementally* —
+            each clip is submitted to the batcher the moment its bytes
+            arrive, overlapping network ingest with inference, and its
+            NDJSON score line is flushed back as soon as it completes.
+            Memory is bounded by the admission window, not the video
+            length; instead of shedding 429s, the producer BLOCKS on the
+            oldest in-flight clip (backpressure) when the window is full.
+            """
+            t, s = server.nfr, server.isize
+            clip_bytes = t * s * s * 3 * 4
+            n = int(self.headers.get("Content-Length", "0"))
+            if n <= 0:
+                # stdlib http.server does not decode chunked
+                # transfer-encoding; clients must send Content-Length and
+                # may still stream the body bytes gradually.
+                self._json(411, {"error": "Content-Length required "
+                                          "(chunked TE unsupported)"})
+                return
+            if n % clip_bytes:
+                self._json(400, {"error": f"body must be a multiple of "
+                                          f"{clip_bytes} bytes per "
+                                          f"({t}x{s}x{s}x3 f32 LE) clip"})
+                return
+            k = n // clip_bytes
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("X-Clip-Count", str(k))
+            self.end_headers()     # HTTP/1.0: stream until close
+
+            def emit(i, w):
+                try:
+                    pred = server.collect(w)
+                    scores = pred[..., 0].reshape(t, -1).mean(axis=1)
+                    line = {"clip": i, "frame_scores": scores.tolist()}
+                except (RuntimeError, TimeoutError) as e:
+                    line = {"clip": i, "error": str(e)}
+                self.wfile.write((json.dumps(line) + "\n").encode())
+                self.wfile.flush()
+
+            pending: list = []     # [(index, _Work)] in submit order
+            try:
+                for i in range(k):
+                    raw = self._read_exact(clip_bytes)
+                    clip = np.frombuffer(raw, "<f4").reshape(1, t, s, s, 3)
+                    while True:
+                        try:
+                            pending.append((i, server.submit(clip)))
+                            break
+                        except OverloadedError:
+                            if pending:        # backpressure: drain oldest
+                                emit(*pending.pop(0))
+                            else:              # other clients hold the bound
+                                time.sleep(0.02)
+                    # opportunistic in-order drain keeps the response moving
+                    while pending and pending[0][1].done.is_set():
+                        emit(*pending.pop(0))
+                while pending:
+                    emit(*pending.pop(0))
+            except (ConnectionError, BrokenPipeError):
+                # client went away: redeem whatever was admitted so the
+                # admission counter can't leak, then drop the connection
+                for _, w in pending:
+                    try:
+                        server.collect(w)
+                    except (RuntimeError, TimeoutError):
+                        pass
 
         def _predict_video(self):
             """JSON {"video_path": ...}: decode server-side (the cv2 path
