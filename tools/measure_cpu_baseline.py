@@ -147,15 +147,20 @@ def main(steps: int = 2):
     zeros = torch.zeros(B, 1)
 
     times = []
+    comp: dict[str, list] = {k: [] for k in
+                             ("g_fwd", "flow", "d_fwd", "g_bwd", "d_bwd")}
     for i in range(steps + 1):
         t0 = time.perf_counter()
         pred = netg(x)
         gt3 = gt.repeat(1, 3, 1, 1, 1)
         pr3 = pred.detach().repeat(1, 3, 1, 1, 1)
+        t1 = time.perf_counter()
         gt_flow = cv2_flow_video(gt)
         pr_flow = cv2_flow_video(pred.detach()[:, :1])
+        t2 = time.perf_counter()
         s_r, sf_r, t_r, tf_r = netd(gt3, gt_flow)
         s_f, sf_f, t_f, tf_f = netd(pr3, pr_flow)
+        t3 = time.perf_counter()
 
         opt_g.zero_grad()
         p = pred.clamp(1e-8, 1 - 1e-8)
@@ -163,6 +168,7 @@ def main(steps: int = 2):
         adv = ((sf_r - sf_f) ** 2).mean() + ((tf_r - tf_f) ** 2).mean()
         (adv.detach() + con * 10).backward(retain_graph=True)
         opt_g.step()
+        t4 = time.perf_counter()
 
         opt_d.zero_grad()
         d_loss = 0.5 * (0.5 * (bcel(s_r, ones) + bcel(t_r, ones))
@@ -171,12 +177,22 @@ def main(steps: int = 2):
         opt_d.step()
         dt = time.perf_counter() - t0
         times.append(dt)
-        print(f"step {i}: {dt:.1f}s")
+        for k, v in zip(comp, (t1 - t0, t2 - t1, t3 - t2, t4 - t3,
+                               time.perf_counter() - t4)):
+            comp[k].append(v)
+        print(f"step {i}: {dt:.1f}s  (g_fwd {t1-t0:.1f} flow {t2-t1:.1f} "
+              f"d_fwd {t3-t2:.1f} g_bwd {t4-t3:.1f})")
 
     med = float(np.median(times[1:])) if len(times) > 1 else times[0]
     result = {"clips_per_sec": B / med, "sec_per_step": med, "batch": B,
               "shape": [C, T, S, S], "device": "cpu",
-              "threads": torch.get_num_threads()}
+              "threads": torch.get_num_threads(),
+              # median seconds per step, same phase boundaries as the TPU
+              # step budget in BENCH_NOTES.md (G fwd / flow / dual-D fwd /
+              # G bwd+Adam / D bwd+Adam)
+              "components_sec": {
+                  k: float(np.median(v[1:]) if len(v) > 1 else v[0])
+                  for k, v in comp.items()}}
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "BASELINE_CPU.json")
     with open(os.path.abspath(out), "w") as f:
