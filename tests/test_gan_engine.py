@@ -68,6 +68,33 @@ def test_mygan_end_to_end(loaders, tmp_path):
     assert os.listdir(eng.dirs.weights)
 
 
+def test_gt_flow_cache_sweep_matches_uncached(loaders, tmp_path):
+    """--cache_gt_flow: the first sweep populates the per-clip gt-flow
+    cache, later sweeps reuse it through the cached eval step and must
+    reproduce the uncached sweep's scores exactly and its D/G telemetry to
+    float tolerance (PARITY.md "gt-flow cache")."""
+    train_list, test_list = loaders
+    cfg = _cfg(tmp_path, train_list, test_list, freq=10 ** 6,
+               cache_gt_flow=True)
+    eng = MyGanEngine(cfg, *_iters(cfg, train_list, test_list))
+    try:
+        r1 = eng.test()                      # populates (uncached path)
+        assert len(eng._gt_flow_cache) == len(eng.test_iter.dataset)
+        errs1 = {k: v for k, v in eng.errors.items() if k.endswith("/test")}
+        assert errs1
+
+        calls = []
+        orig = eng._eval_step
+        eng._eval_step = lambda *a: (calls.append(1), orig(*a))[1]
+        r2 = eng.test()                      # cached path only
+        assert not calls, "cached sweep fell back to the uncached step"
+        assert r1 == pytest.approx(r2, rel=1e-5)
+        for k, v in errs1.items():
+            assert eng.errors[k] == pytest.approx(v, rel=1e-4, abs=1e-5), k
+    finally:
+        eng.close()
+
+
 def test_ae_generator_swap_one_step(loaders, tmp_path):
     """--ae swaps the U-Net for the (2+1)D AutoEncoder as G
     (models/mygannet.py:224-230); one fused step must run and update it."""

@@ -107,6 +107,11 @@ class Config:
     # Rematerialise generator conv blocks in backward (memory for FLOPs;
     # enables long-clip / large-batch configurations).
     remat: bool = False
+    # Cache the gt-mask flow videos across periodic test sweeps (the gt
+    # masks are static per clip; recomputing their Farneback flow every
+    # sweep is pure waste).  Costs device memory: ~3 MB f32 per test clip
+    # at 128^2 x 16 frames.  Near-exact — see PARITY.md "gt-flow cache".
+    cache_gt_flow: bool = False
 
     def validate(self) -> "Config":
         if self.model not in MODELS:

@@ -147,6 +147,9 @@ class ClipBatchIterator:
             "real": native.pack_clips([it[1] for it in items]),
             "mask": native.pack_clips([it[2] for it in items]),
             "label": np.stack([it[3] for it in items]),
+            # global clip ids — lets engines key per-clip caches across the
+            # shuffled sweeps (e.g. --cache_gt_flow); not a reference field
+            "index": np.asarray(indices, np.int32),
         }
 
     def __iter__(self):
