@@ -1,6 +1,5 @@
 """Dataset path derivation, clip indexing quirks, decode, and batching."""
 
-import os
 
 import numpy as np
 import pytest

@@ -1,6 +1,5 @@
 """Multi-host env parsing + single-host passthrough of the DCN wiring."""
 
-import jax
 import numpy as np
 import pytest
 

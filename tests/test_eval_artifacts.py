@@ -1,6 +1,5 @@
 """Evaluation artifact rules + misc scaffolding semantics."""
 
-import os
 
 import numpy as np
 import pytest

@@ -2,8 +2,6 @@
 
 import os
 
-import numpy as np
-import pytest
 
 from vfd_gan_tpu.cli.infer import main as infer_main
 from vfd_gan_tpu.config import Config

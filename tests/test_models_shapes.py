@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from vfd_gan_tpu.models.mygan import DualDisc, Generator, SpatialDisc, TemporalDisc
 from vfd_gan_tpu.models.stcnn import AutoEncoder
