@@ -77,6 +77,32 @@ def test_conv3d_tap_gemm_head_path_matches_torch(cout, pad):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_conv3d_tap_gemm_dp_sp_sharded_matches_unsharded():
+    """The tap-GEMM head conv under a 2-D (dp, sp) GSPMD mesh: the pad +
+    27 shifted-slice adds cross the frame-axis shard boundary, so GSPMD
+    must insert halo exchanges.  TPU-only dispatch means the virtual-mesh
+    engine tests never reach this path — prove it directly on a fake
+    (2, 2) mesh (SURVEY.md §4 distributed-test strategy)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vfd_gan_tpu.ops.convs import _tap_gemm_conv3d
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+
+    x = _video()                                   # (B, T, H, W, C)
+    w = rng.normal(size=(3, 3, 3, CIN, 1)).astype(np.float32) * 0.1
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("dp", "sp"))
+    sharded = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("dp", "sp")))
+
+    fn = jax.jit(lambda xx: _tap_gemm_conv3d(xx, jnp.asarray(w),
+                                             [(1, 1)] * 3))
+    np.testing.assert_allclose(np.asarray(fn(sharded)),
+                               np.asarray(fn(jnp.asarray(x))), atol=1e-5)
+
+
 def test_conv3d_tap_gemm_grads_match_torch():
     import jax
 
