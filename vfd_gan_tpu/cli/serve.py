@@ -357,14 +357,22 @@ def make_handler(server: InferenceServer):
                 for i in range(k):
                     raw = self._read_exact(clip_bytes)
                     clip = np.frombuffer(raw, "<f4").reshape(1, t, s, s, 3)
+                    deadline = time.monotonic() + 60.0
                     while True:
                         try:
                             pending.append((i, server.submit(clip)))
                             break
-                        except OverloadedError:
+                        except OverloadedError as e:
                             if pending:        # backpressure: drain oldest
                                 emit(*pending.pop(0))
-                            else:              # other clients hold the bound
+                            elif time.monotonic() > deadline:
+                                # other clients held the bound for 60 s —
+                                # report and stop rather than spin forever
+                                self.wfile.write((json.dumps(
+                                    {"clip": i, "error": f"overloaded: {e}"})
+                                    + "\n").encode())
+                                return
+                            else:
                                 time.sleep(0.02)
                     # opportunistic in-order drain keeps the response moving
                     while pending and pending[0][1].done.is_set():
