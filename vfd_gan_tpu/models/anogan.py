@@ -42,6 +42,7 @@ class AnoGenerator(nn.Module):
 
     nfr: int = 16
     isize: int = 128
+    drop_rate: float = 0.25      # reference anogan.py:50,55,63,68; 0 for tests
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
 
@@ -52,7 +53,7 @@ class AnoGenerator(nn.Module):
         t0, s0 = self.nfr // 8, self.isize // 8
         bn = lambda name: VideoBatchNorm(dtype=self.dtype,
                                          axis_name=self.axis_name, name=name)
-        drop = nn.Dropout(rate=0.25, deterministic=not train)
+        drop = nn.Dropout(rate=self.drop_rate, deterministic=not train)
 
         # Stage 1: Dense to the seed volume + BN1d + ReLU (anogan.py:43-47).
         x = TorchLinear(512 * t0 * s0 * s0, dtype=self.dtype, name="fc")(z)

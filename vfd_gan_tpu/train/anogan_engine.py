@@ -84,9 +84,24 @@ class AnoGanEngine(EngineBase):
         aug_key, z_key, drop_key = jax.random.split(key, 3)
         data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
                                        batch["mask"], cfg.isize)
-        b = data.shape[0]
+        z = jax.random.normal(z_key, (data.shape[0], Z_DIM), jnp.float32)
+        g_state, d_state, fake_sg, metrics = self._ano_core(
+            g_state, d_state, real, z, drop_key)
+        pred = predict_forgery(fake_sg, real)
+        # summary-only t_pre/m_pre move to EngineBase.viz_morphology (the
+        # eval step keeps them inline — there they feed every sweep batch's
+        # viz panel, and eval already runs only at summary cadence)
+        viz = {"input": data, "real": real, "gen": fake_sg, "gt": gt,
+               "pred": pred}
+        return g_state, d_state, metrics, viz
+
+    def _ano_core(self, g_state: NetState, d_state: NetState, real, z,
+                  drop_key):
+        """One alternating update from post-augment inputs (the reference's
+        optimize_params, anogan.py:229-250); golden-parity-tested against it
+        in tests/test_anogan_step_parity.py."""
+        b = real.shape[0]
         ones, zeros = jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)
-        z = jax.random.normal(z_key, (b, Z_DIM), jnp.float32)
 
         # G forward once; its output feeds both updates (anogan.py:237-247).
         fake, g_mut = self.netg.apply(
@@ -110,28 +125,26 @@ class AnoGanEngine(EngineBase):
             d_loss_fn, has_aux=True)(d_state.params)
         d_state = d_state.apply_grads(self.tx_d, d_grads, d_stats)
 
-        # ---- G step against the UPDATED D (anogan.py:243-250) ----
+        # ---- G step against the UPDATED D (anogan.py:243-250).  The
+        # reference's fresh netd(gen_fake) forward also mutates D's BN
+        # running stats a third time this step — keep that mutation.
         def g_loss_fn(g_params):
             fk, mut = self.netg.apply(
                 {"params": g_params, "batch_stats": g_state.batch_stats},
                 z, True, mutable=["batch_stats"], rngs={"dropout": drop_key})
-            (s_fake, _), _ = self.netd.apply(
+            (s_fake, _), d_mut = self.netd.apply(
                 {"params": d_state.params, "batch_stats": d_state.batch_stats},
                 fk, True, mutable=["batch_stats"])
-            return bce(s_fake, ones), (mut["batch_stats"],)
+            return bce(s_fake, ones), (mut["batch_stats"],
+                                       d_mut["batch_stats"])
 
-        (g_loss, (g_stats,)), g_grads = jax.value_and_grad(
+        (g_loss, (g_stats, d_stats_g)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params)
         g_state = g_state.apply_grads(self.tx_g, g_grads, g_stats)
+        d_state = d_state.replace(batch_stats=d_stats_g)
 
-        pred = predict_forgery(fake_sg, real)
-        # summary-only t_pre/m_pre move to EngineBase.viz_morphology (the
-        # eval step keeps them inline — there they feed every sweep batch's
-        # viz panel, and eval already runs only at summary cadence)
         metrics = {"d/err_d/train": d_loss, "g/err_g/train": g_loss}
-        viz = {"input": data, "real": real, "gen": fake_sg, "gt": gt,
-               "pred": pred}
-        return g_state, d_state, metrics, viz
+        return g_state, d_state, fake_sg, metrics
 
     def _eval_step_impl(self, g_state: NetState, d_state: NetState, batch,
                         key):
