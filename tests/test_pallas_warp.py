@@ -58,6 +58,47 @@ def test_warp_v4_matches_v3():
     np.testing.assert_allclose(np.asarray(v4), np.asarray(v3), atol=1e-2)
 
 
+def test_warp_v5_matches_v3_at_128():
+    # banded kernel (band 48 at H=128): identical output while every
+    # 8-row block's sample rows span <= band-16 (zero vertical weight rows
+    # contribute exactly nothing, so the sum is bit-for-bit v3's)
+    fields, fx, fy = _case(1, 128, 128, 5, scale=4.0)
+    fy = jnp.clip(fy, -11.0, 11.0)   # 8-row block span <= 29 <= band-18
+    v3 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v3")
+    v5 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v5")
+    np.testing.assert_allclose(np.asarray(v5), np.asarray(v3), atol=1e-5)
+
+
+def test_warp_v5_matches_v3_at_64():
+    fields, fx, fy = _case(1, 64, 64, 5, scale=2.0)
+    fy = jnp.clip(fy, -3.0, 3.0)     # 8-row block span <= 13 <= band-18
+    v3 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v3")
+    v5 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v5")
+    np.testing.assert_allclose(np.asarray(v5), np.asarray(v3), atol=1e-5)
+
+
+def test_warp_v5_small_plane_falls_back_to_v3():
+    fields, fx, fy = _case(1, 32, 32, 5, scale=4.0)
+    v3 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v3")
+    v5 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v5")
+    np.testing.assert_allclose(np.asarray(v5), np.asarray(v3), atol=0.0)
+
+
+def test_warp_v5_out_of_envelope_clamps_to_band():
+    # one block mixing near-zero and huge downward displacements exceeds
+    # the band's coverage: out-of-band samples clamp to the band top (the
+    # documented envelope), in-band pixels stay exact
+    fields, fx, fy = _case(1, 128, 128, 5, scale=0.5)
+    fy = fy.at[0, 0, ::2].set(100.0)      # half of block 0 points 100 rows down
+    v3 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v3")
+    v5 = bilinear_warp_pallas(fields, fx, fy, interpret=True, variant="v5")
+    got, want = np.asarray(v5), np.asarray(v3)
+    # every pixel outside block 0 is exact; block 0's odd columns too
+    np.testing.assert_allclose(got[:, 8:], want[:, 8:], atol=1e-5)
+    np.testing.assert_allclose(got[:, :8, 1::2], want[:, :8, 1::2], atol=1e-5)
+    assert np.isfinite(got).all()
+
+
 def test_warp_integer_flow_is_near_exact():
     # integer displacements make the two-hot weights exactly {0, 1}; the
     # matmul then moves exact field values (bf16 rounding of 0/1 is exact)

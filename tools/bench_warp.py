@@ -56,7 +56,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--rounds", type=int, default=4)
-    ap.add_argument("--forms", default="v2,v3")
+    ap.add_argument("--forms", default="v3,v5")
     ap.add_argument("--shapes", default="")
     args = ap.parse_args()
 

@@ -190,6 +190,54 @@ def _warp_kernel_v4(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int):
                          preferred_element_type=jnp.float32)  # (C, M)
 
 
+def _warp_kernel_v5(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
+                    band: int):
+    """v3 with the vertical candidate rows cut to a dynamic band.
+
+    Every output pixel's bilinear sample touches exactly two source rows,
+    and one row-block's sample rows ``ys`` cluster around the block itself
+    (smooth flow fields): v3 still pays all H candidate rows in the
+    horizontal matmul and the vertical weight build.  v5 computes the
+    block's band start ``floor(min ys)`` (rounded down to the bf16 sublane
+    tile, clamped into the plane) and runs both stages on ``band`` rows
+    sliced at that dynamic offset — an H/band FLOP/VPU cut at identical
+    output (zero weight rows contribute exactly nothing, and the two
+    non-zero vertical terms are summed in the same f32 precision).
+
+    Envelope: a block is exact while ``max(ys) - min(ys) <= band - 18``
+    (15 rows of tile-rounding slack below + the two-row bilinear footprint
+    above); beyond it, out-of-band samples clamp to the band's top row.  The wrapper only dispatches v5 when
+    ``h > band`` and callers' flow fields are smooth (Farneback
+    refinement, ops/flow.py); tests/test_pallas_warp.py pins both the
+    in-envelope exactness and the documented out-of-envelope clamp.
+    """
+    xs = xs_ref[0, 0]                                    # (1, M) f32
+    ys = ys_ref[0, 0]
+    _, _, _, w = ft_ref.shape
+    m = xs.shape[-1]
+
+    lo = jnp.floor(jnp.min(ys)).astype(jnp.int32)
+    start = jnp.clip((lo // 16) * 16, 0, h - band)
+    start = pl.multiple_of(start, 16)
+    ysb = jnp.clip(ys - start.astype(jnp.float32), 0.0, band - 1.0)
+
+    si = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0).astype(jnp.float32)
+    wxt = jnp.maximum(1.0 - jnp.abs(xs - si), 0.0).astype(WARP_DTYPE)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0).astype(jnp.float32)
+    vw = jnp.maximum(1.0 - jnp.abs(ysb - ri), 0.0).astype(WARP_DTYPE)
+
+    for ci in range(c):
+        t = jnp.dot(ft_ref[0, ci, pl.ds(start, band), :], wxt,
+                    preferred_element_type=jnp.float32)  # (band, M) f32
+        out_ref[0, ci] = jnp.sum(t.astype(WARP_DTYPE) * vw, axis=0,
+                                 dtype=jnp.float32)      # (M,) f32
+
+
+# Band sizes by plane height: coverage slack is band-16 rows of sample
+# spread per 8-row output block — generous for smooth Farneback flows.
+_V5_BANDS = {128: 48, 64: 32}
+
+
 def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
                          flow_y: jnp.ndarray, *,
                          interpret: bool = False,
@@ -221,10 +269,15 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
         getattr(pltpu, "TPUCompilerParams")
     compiler_params = params_cls(vmem_limit_bytes=100 * 1024 * 1024)
 
-    if variant in ("v3", "v4"):
+    if variant == "v5" and h not in _V5_BANDS:
+        variant = "v3"                     # small planes: banding is a no-op
+    if variant in ("v3", "v4", "v5"):
         # channel-planar layout; the f32->bf16 cast runs in XLA where it
         # fuses with the transpose (and halves the field DMA).
-        kern = _warp_kernel_v3 if variant == "v3" else _warp_kernel_v4
+        if variant == "v5":
+            kern = partial(_warp_kernel_v5, band=_V5_BANDS[h])
+        else:
+            kern = _warp_kernel_v3 if variant == "v3" else _warp_kernel_v4
         ft = jnp.transpose(fields, (0, 3, 1, 2)).astype(WARP_DTYPE)
         out = pl.pallas_call(
             partial(kern, h=h, c=c),
