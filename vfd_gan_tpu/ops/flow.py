@@ -162,8 +162,12 @@ def _bilinear_warp(fields, flow_x, flow_y, use_pallas: bool | None = None):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
+        import os
+
         from vfd_gan_tpu.ops.pallas.warp import bilinear_warp_pallas
-        return bilinear_warp_pallas(fields, flow_x, flow_y)
+        return bilinear_warp_pallas(
+            fields, flow_x, flow_y,
+            variant=os.environ.get("VFD_WARP_VARIANT", "v3"))
     n, h, w, c = fields.shape
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x
