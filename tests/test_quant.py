@@ -1,0 +1,114 @@
+"""BN folding + int8 PTQ of the serving (inference) generator forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfd_gan_tpu.models.mygan import Generator
+from vfd_gan_tpu.quant.fold import fold_generator_bn
+
+rng = np.random.default_rng(3)
+
+
+def _randomized_generator(ngf=4):
+    """Tiny Generator with non-trivial BN affines and running stats."""
+    model = Generator(ngf=ngf, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x, False)
+
+    def perturb(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "BatchNorm_0" not in names:
+            return leaf
+        field = names[-1]
+        if field == "var":
+            return jnp.asarray(rng.uniform(0.2, 3.0, leaf.shape), jnp.float32)
+        return jnp.asarray(rng.normal(0.3, 0.5, leaf.shape), jnp.float32)
+
+    variables = jax.tree_util.tree_map_with_path(perturb, variables)
+    return model, variables, x
+
+
+def test_float_mirror_matches_generator():
+    # the calibration/quantisation mirror (quant/qmygan._forward) must
+    # track Generator.__call__ exactly, or calibration observes the wrong
+    # activations
+    from vfd_gan_tpu.quant.qmygan import forward_folded
+
+    model, variables, x = _randomized_generator()
+    want = model.apply(fold_generator_bn(variables), x, False)
+    got = forward_folded(fold_generator_bn(variables)["params"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_int8_forward_tracks_float():
+    from vfd_gan_tpu.quant.qmygan import (
+        forward_folded,
+        generator_forward_int8,
+        quantize_generator,
+    )
+
+    model, variables, x = _randomized_generator()
+    calib = [jnp.asarray(rng.uniform(-1, 1, x.shape), jnp.float32)
+             for _ in range(2)] + [x]
+    pack = quantize_generator(variables, calib)
+    want = np.asarray(forward_folded(
+        fold_generator_bn(variables)["params"], x))
+    got = np.asarray(generator_forward_int8(pack, x))
+    # 8-bit weights + per-tensor activations through 10 conv blocks and a
+    # sigmoid: tolerances are coarse but far below any decision threshold
+    assert np.max(np.abs(got - want)) < 0.12, np.max(np.abs(got - want))
+    assert np.mean(np.abs(got - want)) < 0.02, np.mean(np.abs(got - want))
+
+
+def test_int8_pack_through_inference_server():
+    from types import SimpleNamespace
+
+    from vfd_gan_tpu.cli.serve import InferenceServer, _quantize_int8
+
+    model, variables, x = _randomized_generator()
+    args = SimpleNamespace(isize=32, nfr=16, calib_plist="", calib_clips=2)
+    pack, apply_fn = _quantize_int8(model, variables, args)
+    srv = InferenceServer(model, pack, "g [int8]", isize=32, nfr=16,
+                          max_batch=2, max_wait_ms=5.0, apply_fn=apply_fn)
+    try:
+        clips = np.repeat(np.asarray(x), 2, axis=0)
+        pred = srv.predict(clips)
+        assert pred.shape == (2, 16, 32, 32, 1)
+        want = np.asarray(model.apply(variables, x, False))[0]
+        assert np.mean(np.abs(pred[0] - want)) < 0.02
+    finally:
+        srv.close()
+
+
+def test_quantize_rejects_non_generator():
+    from types import SimpleNamespace
+
+    import flax.linen as nn
+    import pytest
+
+    from vfd_gan_tpu.cli.serve import _quantize_int8
+
+    class NotG(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return x
+
+    with pytest.raises(SystemExit):
+        _quantize_int8(NotG(), {}, SimpleNamespace(isize=8, nfr=4,
+                                                   calib_plist="",
+                                                   calib_clips=1))
+
+
+def test_bn_fold_preserves_inference_forward():
+    model, variables, x = _randomized_generator()
+    want = model.apply(variables, x, False)
+    folded = fold_generator_bn(variables)
+    got = model.apply(folded, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+    # the folded BNs are identities: their stats/affines are the fixed
+    # identity configuration, not the originals
+    bn = folded["params"]["dconv1"]["bn"]["BatchNorm_0"]
+    np.testing.assert_array_equal(np.asarray(bn["scale"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(bn["bias"]), 0.0)

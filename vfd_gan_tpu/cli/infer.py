@@ -44,6 +44,12 @@ def build_parser():
     p.add_argument("--morph_plane", choices=("th", "hw"), default="th",
                    help="opening plane: th = reference cv2 quirk (PARITY.md), hw = per-frame")
     p.add_argument("--nfr", type=int, default=16)
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="int8: BN-fold + post-training-quantise the MyGAN "
+                        "generator's convs (quant/qmygan.py)")
+    p.add_argument("--calib_plist", default="",
+                   help="videos for int8 activation calibration")
+    p.add_argument("--calib_clips", type=int, default=8)
     return p
 
 
@@ -75,9 +81,16 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     model, variables, name = _load(args.ckpt, args.torch_ckpt)
+    if args.quant == "int8":
+        from vfd_gan_tpu.quant.qmygan import build_int8_serving
+        variables, fwd = build_int8_serving(
+            model, variables, isize=args.isize, nfr=args.nfr,
+            calib_plist=args.calib_plist, calib_clips=args.calib_clips)
+        name += " [int8]"
+        apply_fn = jax.jit(fwd)
+    else:
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x, False))
     print(f"model: {name}")
-
-    apply_fn = jax.jit(lambda v, x: model.apply(v, x, False))
     post_fn = jax.jit(
         lambda p: video_open(threshold(p), args.morph_plane))
 

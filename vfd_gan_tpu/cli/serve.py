@@ -61,6 +61,15 @@ def build_parser():
                    help="compiled batch size; requests are packed up to this")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="how long the batcher waits to fill a batch")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="int8: BN-fold + post-training-quantise the MyGAN "
+                        "generator's convs (quant/qmygan.py; v5e int8 peak "
+                        "is 2x bf16). mygan checkpoints only.")
+    p.add_argument("--calib_plist", default="",
+                   help="path-list file of videos for int8 activation "
+                        "calibration (one clip each); default synthetic")
+    p.add_argument("--calib_clips", type=int, default=8,
+                   help="synthetic calibration batches when no --calib_plist")
     p.add_argument("--max_queued_clips", type=int, default=256,
                    help="admission bound before shedding load with 429s")
     return p
@@ -85,7 +94,7 @@ class InferenceServer:
 
     def __init__(self, model, variables, name: str, *, isize: int, nfr: int,
                  max_batch: int, max_wait_ms: float,
-                 max_queued_clips: int = 256):
+                 max_queued_clips: int = 256, apply_fn=None):
         import jax
         import jax.numpy as jnp
 
@@ -106,7 +115,8 @@ class InferenceServer:
         self.latencies_ms: list[float] = []
 
         self._variables = variables
-        self._apply = jax.jit(lambda v, x: model.apply(v, x, False))
+        self._apply = jax.jit(apply_fn if apply_fn is not None
+                              else lambda v, x: model.apply(v, x, False))
         # warm the compile with the fixed shape so the first request
         # doesn't eat the compile latency
         z = jnp.zeros((max_batch, nfr, isize, isize, 3), jnp.float32)
@@ -435,6 +445,15 @@ def make_handler(server: InferenceServer):
     return Handler
 
 
+def _quantize_int8(model, variables, args):
+    """Int8-PTQ pack + apply_fn for the MyGAN generator serving forward."""
+    from vfd_gan_tpu.quant.qmygan import build_int8_serving
+    return build_int8_serving(
+        model, variables, isize=args.isize, nfr=args.nfr,
+        calib_plist=getattr(args, "calib_plist", ""),
+        calib_clips=getattr(args, "calib_clips", 8))
+
+
 def serve(args) -> ThreadingHTTPServer:
     """Build the server (used by main() and the tests)."""
     from vfd_gan_tpu.cli.infer import _load
@@ -443,10 +462,15 @@ def serve(args) -> ThreadingHTTPServer:
     # warm restarts skip the multi-minute remote XLA compile (docs/SERVING.md)
     enable_compilation_cache()
     model, variables, name = _load(args.ckpt, args.torch_ckpt)
+    apply_fn = None
+    if getattr(args, "quant", "none") == "int8":
+        variables, apply_fn = _quantize_int8(model, variables, args)
+        name += " [int8]"
     inf = InferenceServer(model, variables, name, isize=args.isize,
                           nfr=args.nfr, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms,
-                          max_queued_clips=args.max_queued_clips)
+                          max_queued_clips=args.max_queued_clips,
+                          apply_fn=apply_fn)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(inf))
     httpd.inference = inf
     return httpd
