@@ -153,3 +153,15 @@ def test_frames_dump(dataset, tmp_path):
     mask_dirs = [os.path.join(p, d) for p, dirs, _ in os.walk(out)
                  for d in dirs if d == "mask"]
     assert mask_dirs
+
+
+def test_model_from_params_infers_generator_width():
+    # non-default --ngf checkpoints must reconstruct at their own width
+    import numpy as np
+
+    from vfd_gan_tpu.cli.evaluate_models import _model_from_params
+
+    params = {"dconv1": {"stconv": {"temporal_kernel": np.zeros((3, 8, 4))}},
+              "uconv1": {}}
+    model, name = _model_from_params(params)
+    assert model.ngf == 4 and name == "Propose model[GAN]"

@@ -287,3 +287,34 @@ def test_http_predict_video(tmp_path):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_dp_serving_matches_dp1():
+    # data-parallel serving over the virtual mesh: batch sharded, params
+    # replicated — same predictions as the single-device server
+    model = TinyMask()
+    x = np.zeros((1, T, S, S, 3), np.float32)
+    variables = model.init(jax.random.key(0), x)
+    srv1 = InferenceServer(model, variables, "tiny", isize=S, nfr=T,
+                           max_batch=4, max_wait_ms=5.0)
+    srv2 = InferenceServer(model, variables, "tiny-dp2", isize=S, nfr=T,
+                           max_batch=4, max_wait_ms=5.0, dp=2)
+    try:
+        clips = np.random.default_rng(5).uniform(
+            -1, 1, (3, T, S, S, 3)).astype(np.float32)
+        np.testing.assert_allclose(srv2.predict(clips), srv1.predict(clips),
+                                   atol=1e-6)
+    finally:
+        srv1.close()
+        srv2.close()
+
+
+def test_dp_serving_rejects_indivisible_batch():
+    import pytest
+
+    model = TinyMask()
+    x = np.zeros((1, T, S, S, 3), np.float32)
+    variables = model.init(jax.random.key(0), x)
+    with pytest.raises(SystemExit):
+        InferenceServer(model, variables, "tiny", isize=S, nfr=T,
+                        max_batch=3, max_wait_ms=5.0, dp=2)

@@ -83,7 +83,11 @@ def _model_from_params(params):
     the parameter tree is already loaded; covers --ae GAN checkpoints whose
     generator is the AutoEncoder, models/mygannet.py:224-230)."""
     if "dconv1" in params and "uconv1" in params:
-        return _build("mygan_generator"), "Propose model[GAN]"
+        from vfd_gan_tpu.models.mygan import Generator
+
+        # width from the tree, not the default: --ngf runs must load too
+        ngf = params["dconv1"]["stconv"]["temporal_kernel"].shape[-1]
+        return Generator(ngf=int(ngf)), "Propose model[GAN]"
     if "down1" in params:
         return _build("c2plus1d"), "(2+1)DCNN"
     if "entry1" in params:

@@ -61,6 +61,10 @@ def build_parser():
                    help="compiled batch size; requests are packed up to this")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="how long the batcher waits to fill a batch")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel serving over a 1-D device mesh "
+                        "(params replicated, batch sharded); max_batch "
+                        "must divide by it")
     p.add_argument("--quant", choices=("none", "int8"), default="none",
                    help="int8: BN-fold + post-training-quantise the MyGAN "
                         "generator's convs (quant/qmygan.py; v5e int8 peak "
@@ -94,7 +98,7 @@ class InferenceServer:
 
     def __init__(self, model, variables, name: str, *, isize: int, nfr: int,
                  max_batch: int, max_wait_ms: float,
-                 max_queued_clips: int = 256, apply_fn=None):
+                 max_queued_clips: int = 256, apply_fn=None, dp: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -115,8 +119,27 @@ class InferenceServer:
         self.latencies_ms: list[float] = []
 
         self._variables = variables
-        self._apply = jax.jit(apply_fn if apply_fn is not None
-                              else lambda v, x: model.apply(v, x, False))
+        fn = (apply_fn if apply_fn is not None
+              else lambda v, x: model.apply(v, x, False))
+        if dp > 1:
+            # data-parallel serving: params replicated, the fixed-shape
+            # batch GSPMD-sharded over a 1-D dp mesh (same strategy as the
+            # training engines, parallel/mesh.py)
+            from vfd_gan_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicated,
+            )
+            if max_batch % dp:
+                raise SystemExit(
+                    f"--max_batch {max_batch} must be divisible by dp={dp}")
+            mesh = make_mesh(dp=dp)
+            rep, bsh = replicated(mesh), batch_sharding(mesh)
+            self._variables = jax.device_put(variables, rep)
+            self._apply = jax.jit(fn, in_shardings=(rep, bsh),
+                                  out_shardings=bsh)
+        else:
+            self._apply = jax.jit(fn)
         # warm the compile with the fixed shape so the first request
         # doesn't eat the compile latency
         z = jnp.zeros((max_batch, nfr, isize, isize, 3), jnp.float32)
@@ -470,7 +493,8 @@ def serve(args) -> ThreadingHTTPServer:
                           nfr=args.nfr, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms,
                           max_queued_clips=args.max_queued_clips,
-                          apply_fn=apply_fn)
+                          apply_fn=apply_fn,
+                          dp=getattr(args, "dp", 1))
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(inf))
     httpd.inference = inf
     return httpd
