@@ -112,3 +112,47 @@ def test_bn_fold_preserves_inference_forward():
     bn = folded["params"]["dconv1"]["bn"]["BatchNorm_0"]
     np.testing.assert_array_equal(np.asarray(bn["scale"]), 1.0)
     np.testing.assert_array_equal(np.asarray(bn["bias"]), 0.0)
+
+
+def _randomized_autoencoder():
+    from vfd_gan_tpu.models.stcnn import AutoEncoder
+
+    model = AutoEncoder(dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(1), x, False)
+
+    def perturb(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "BatchNorm_0" not in names:
+            return leaf
+        if names[-1] == "var":
+            return jnp.asarray(rng.uniform(0.2, 3.0, leaf.shape), jnp.float32)
+        return jnp.asarray(rng.normal(0.3, 0.5, leaf.shape), jnp.float32)
+
+    return model, jax.tree_util.tree_map_with_path(perturb, variables), x
+
+
+def test_ae_float_mirror_matches_autoencoder():
+    from vfd_gan_tpu.quant.qstcnn import fold_autoencoder, forward_folded
+
+    model, variables, x = _randomized_autoencoder()
+    want = model.apply(variables, x, False)
+    got = forward_folded(fold_autoencoder(variables), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_ae_int8_forward_tracks_float():
+    from vfd_gan_tpu.quant.qstcnn import (
+        autoencoder_forward_int8,
+        fold_autoencoder,
+        forward_folded,
+        quantize_autoencoder,
+    )
+
+    model, variables, x = _randomized_autoencoder()
+    calib = [jnp.asarray(rng.uniform(-1, 1, x.shape), jnp.float32)] + [x]
+    qpack = quantize_autoencoder(variables, calib)
+    want = np.asarray(forward_folded(fold_autoencoder(variables), x))
+    got = np.asarray(autoencoder_forward_int8(qpack, x))
+    assert np.max(np.abs(got - want)) < 0.12, np.max(np.abs(got - want))
+    assert np.mean(np.abs(got - want)) < 0.02, np.mean(np.abs(got - want))

@@ -201,10 +201,12 @@ def build_int8_serving(model, variables, *, isize: int, nfr: int,
     either way, so noise gives a usable (if loose) per-site range envelope.
     """
     from vfd_gan_tpu.models.mygan import Generator
+    from vfd_gan_tpu.models.stcnn import AutoEncoder
 
-    if not isinstance(model, Generator):
-        raise SystemExit("--quant int8 supports mygan generator "
-                         f"checkpoints only (got {type(model).__name__})")
+    if not isinstance(model, (Generator, AutoEncoder)):
+        raise SystemExit(
+            "--quant int8 supports mygan-generator and c2plus1d "
+            f"(AutoEncoder) checkpoints (got {type(model).__name__})")
     if calib_plist:
         import numpy as np
 
@@ -218,6 +220,13 @@ def build_int8_serving(model, variables, *, isize: int, nfr: int,
         keys = jax.random.split(jax.random.key(7), calib_clips)
         batches = [jax.random.uniform(k, (1, nfr, isize, isize, 3),
                                       jnp.float32, -1.0, 1.0) for k in keys]
+    if isinstance(model, AutoEncoder):
+        from vfd_gan_tpu.quant.qstcnn import (
+            autoencoder_forward_int8,
+            quantize_autoencoder,
+        )
+        return (quantize_autoencoder(variables, batches),
+                lambda v, x: autoencoder_forward_int8(v, x))
     pack = quantize_generator(variables, batches)
     return pack, lambda v, x: generator_forward_int8(v, x)
 
