@@ -206,10 +206,11 @@ def _warp_kernel_v5(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
 
     Envelope: a block is exact while ``max(ys) - min(ys) <= band - 18``
     (15 rows of tile-rounding slack below + the two-row bilinear footprint
-    above); beyond it, out-of-band samples clamp to the band's top row.  The wrapper only dispatches v5 when
-    ``h > band`` and callers' flow fields are smooth (Farneback
-    refinement, ops/flow.py); tests/test_pallas_warp.py pins both the
-    in-envelope exactness and the documented out-of-envelope clamp.
+    above).  The wrapper guarantees this by clamping the vertical
+    displacement to the per-height bound in ``_V5_BANDS`` — v5 is exactly
+    "bilinear warp with |flow_y| <= D", deterministic and block-layout
+    independent; tests/test_pallas_warp.py pins both the in-envelope
+    exactness and the clamped-large-flow semantics.
     """
     xs = xs_ref[0, 0]                                    # (1, M) f32
     ys = ys_ref[0, 0]
@@ -233,9 +234,16 @@ def _warp_kernel_v5(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
                                  dtype=jnp.float32)      # (M,) f32
 
 
-# Band sizes by plane height: coverage slack is band-16 rows of sample
-# spread per 8-row output block — generous for smooth Farneback flows.
-_V5_BANDS = {128: 48, 64: 32}
+# Band sizes by plane height, and the vertical-displacement bound the
+# wrapper clamps flow_y to so v5's semantics are DETERMINISTIC: with
+# |flow_y| <= D every 8-row block's sample span is 7 + 2D <= band - 18,
+# guaranteeing exactness.  Without the clamp an out-of-envelope block
+# would silently snap samples to its band edge depending on which other
+# pixels share the block.  v5 is therefore exactly "bilinear warp with
+# vertical displacement clamped to +-D" — a documented approximation
+# (Farneback refinement flows are winsize-15 box-blurred and far smaller
+# in practice; the e2e default stays v3 unless the A/B wins).
+_V5_BANDS = {128: (48, 11.0), 64: (32, 3.0)}
 
 
 def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
@@ -275,7 +283,14 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
         # channel-planar layout; the f32->bf16 cast runs in XLA where it
         # fuses with the transpose (and halves the field DMA).
         if variant == "v5":
-            kern = partial(_warp_kernel_v5, band=_V5_BANDS[h])
+            band, max_dy = _V5_BANDS[h]
+            kern = partial(_warp_kernel_v5, band=band)
+            # deterministic envelope (see _V5_BANDS): ys was grid + flow_y
+            # clamped to the image; re-clamp it to grid +- max_dy
+            grid = jnp.broadcast_to(
+                jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)
+            ).reshape(1, h * w).reshape(1, nb, 1, m)
+            ys = jnp.clip(ys, grid - max_dy, grid + max_dy)
         else:
             kern = _warp_kernel_v3 if variant == "v3" else _warp_kernel_v4
         ft = jnp.transpose(fields, (0, 3, 1, 2)).astype(WARP_DTYPE)

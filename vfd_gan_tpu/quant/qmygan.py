@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vfd_gan_tpu.ops.convs import avg_pool3d, conv3d
+from vfd_gan_tpu.ops.convs import (
+    avg_pool3d,
+    conv3d,
+    spatial_conv,
+    temporal_conv,
+)
 from vfd_gan_tpu.ops.resize import upsample2x
 from vfd_gan_tpu.quant.fold import fold_generator_bn
 
@@ -81,25 +86,14 @@ def _temporal_conv_i8(x, s_x, w_i8, s_w, bias):
 
 
 def _spatial_conv_f32(x, w, bias):
-    b, t, h, ww, c = x.shape
-    y = lax.conv_general_dilated(
-        x.reshape(b * t, h, ww, c), w, window_strides=(1, 1),
-        padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y.reshape(b, t, h, ww, -1) + bias
+    """Float mirror path: the model's own lowering (ops/convs.spatial_conv)
+    plus the folded bias, so calibration observes exactly what
+    Generator.apply computes."""
+    return spatial_conv(x, w, padding=[(1, 1), (1, 1)]) + bias
 
 
 def _temporal_conv_f32(x, w, bias):
-    kt = w.shape[0]
-    pad = kt // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
-    tout = x.shape[1]
-    acc = None
-    for dt in range(kt):
-        term = jnp.einsum("bthwc,cd->bthwd", xp[:, dt:dt + tout], w[dt],
-                          preferred_element_type=jnp.float32)
-        acc = term if acc is None else acc + term
-    return acc + bias
+    return temporal_conv(x, w, padding=w.shape[0] // 2) + bias
 
 
 def _forward(params: dict, x: jnp.ndarray, *, q: Optional[dict] = None,
@@ -158,14 +152,18 @@ def forward_folded(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return _forward(params, x)[0]
 
 
-def calibrate(params: dict, batches) -> dict:
-    """Per-site activation scales (absmax/127) over calibration batches."""
-    run = jax.jit(lambda xb: _forward(params, xb)[1])
+def calibrate(forward_absmax, batches) -> dict:
+    """Per-site activation scales (absmax/127) over calibration batches.
+
+    ``forward_absmax(batch) -> {site: scalar absmax}`` — shared by every
+    quantised family (qstcnn.py uses it too) so the calibration protocol
+    cannot drift between them.
+    """
+    run = jax.jit(forward_absmax)
     agg: dict = {}
     for xb in batches:
         for site, v in run(xb).items():
-            v = float(v)
-            agg[site] = max(agg.get(site, 0.0), v)
+            agg[site] = max(agg.get(site, 0.0), float(v))
     return {site: (v / 127.0 if v > 0 else 1.0) for site, v in agg.items()}
 
 
@@ -173,13 +171,14 @@ def quantize_generator(variables: dict, calib_batches) -> dict:
     """variables ({'params','batch_stats'}) -> int8 serving pack.
 
     Returns ``{"params", "q", "act_scales"}`` consumed by
-    ``generator_forward_int8`` (params keeps the f32 biases + head kernel;
-    the folded float kernels are dropped from ``q`` at use — kept in
-    params for audits/export).
+    ``generator_forward_int8``.  ``params`` is LEAN: only the folded f32
+    biases and the (float) head kernel survive — the folded float conv
+    kernels would double the serving weight footprint for nothing (re-run
+    ``fold_generator_bn`` for audits/export).
     """
     params = fold_generator_bn(variables)["params"]
-    act_scales = calibrate(params, calib_batches)
-    qtree = {}
+    act_scales = calibrate(lambda xb: _forward(params, xb)[1], calib_batches)
+    qtree, lean = {}, {"head_kernel": params["head_kernel"]}
     for name in _BLOCKS:
         p = params[name]["stconv"]
         sp_s = _per_channel_scale(p["spatial_kernel"])
@@ -188,7 +187,9 @@ def quantize_generator(variables: dict, calib_batches) -> dict:
             "sp_w": _quant(p["spatial_kernel"], sp_s), "sp_s": sp_s,
             "tp_w": _quant(p["temporal_kernel"], tp_s), "tp_s": tp_s,
         }
-    return {"params": params, "q": qtree, "act_scales": act_scales}
+        lean[name] = {"stconv": {"spatial_bias": p["spatial_bias"],
+                                 "temporal_bias": p["temporal_bias"]}}
+    return {"params": lean, "q": qtree, "act_scales": act_scales}
 
 
 def build_int8_serving(model, variables, *, isize: int, nfr: int,

@@ -27,10 +27,11 @@ from vfd_gan_tpu.quant.fold import _bn_affine
 from vfd_gan_tpu.quant.qmygan import (
     _per_channel_scale,
     _quant,
-    _spatial_conv_i8,
-    _temporal_conv_i8,
     _spatial_conv_f32,
+    _spatial_conv_i8,
     _temporal_conv_f32,
+    _temporal_conv_i8,
+    calibrate,
 )
 
 _BLOCKS = ["down1", "down2", "down3", "down4", "up1", "up2", "up3", "up4"]
@@ -141,15 +142,15 @@ def forward_folded(pack: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def quantize_autoencoder(variables: dict, calib_batches) -> dict:
-    """variables -> int8 serving pack for ``autoencoder_forward_int8``."""
+    """variables -> int8 serving pack for ``autoencoder_forward_int8``.
+
+    Like quantize_generator, the returned ``pack`` is LEAN (biases + head
+    kernel only); re-run ``fold_autoencoder`` for audits/export.
+    """
     pack = fold_autoencoder(variables)
-    run = jax.jit(lambda xb: _forward(pack, xb)[1])
-    agg: dict = {}
-    for xb in calib_batches:
-        for site, v in run(xb).items():
-            agg[site] = max(agg.get(site, 0.0), float(v))
-    act_scales = {s: (v / 127.0 if v > 0 else 1.0) for s, v in agg.items()}
+    act_scales = calibrate(lambda xb: _forward(pack, xb)[1], calib_batches)
     qtree = {}
+    lean = {"head_kernel": pack["head_kernel"]}
     for name in _BLOCKS:
         p = pack[name]
         qb = {}
@@ -159,7 +160,9 @@ def quantize_autoencoder(variables: dict, calib_batches) -> dict:
             qb[f"{tag}_w"] = _quant(p[key], s)
             qb[f"{tag}_s"] = s
         qtree[name] = qb
-    return {"pack": pack, "q": qtree, "act_scales": act_scales}
+        lean[name] = {"space_b": p["space_b"], "time_b": p["time_b"],
+                      "proj_b": p["proj_b"]}
+    return {"pack": lean, "q": qtree, "act_scales": act_scales}
 
 
 def autoencoder_forward_int8(qpack: dict, x: jnp.ndarray) -> jnp.ndarray:
