@@ -94,19 +94,33 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
     return y.reshape(b, y.shape[1], h, w, -1)
 
 
+_TC_FLAT = os.environ.get("VFD_TC_FLAT", "0") != "0"
+
+
 def _tc_s1_impl(x: jnp.ndarray, kernel: jnp.ndarray, pad_lo: int,
                 pad_hi: int) -> jnp.ndarray:
     """Stride-1 temporal conv as ``kt`` frame-shifted channel matmuls."""
     b, t, h, w, c = x.shape
     kt = kernel.shape[0]
+    d = kernel.shape[-1]
     xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
     tout = t + pad_lo + pad_hi - kt + 1
     out = None
     for dt in range(kt):
-        term = jnp.einsum(
-            "bthwc,cd->bthwd", xp[:, dt:dt + tout],
-            kernel[dt].astype(x.dtype),
-            preferred_element_type=jnp.float32)
+        if _TC_FLAT:
+            # Layout experiment: a flat (B*T*H*W, C) @ (C, D) dot instead of
+            # the 5-D einsum, to bias XLA layout assignment toward plain
+            # row-major C-minor operands at the (2+1)D block boundary.
+            term = jnp.dot(
+                xp[:, dt:dt + tout].reshape(-1, c),
+                kernel[dt].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, tout, h, w, d)
+        else:
+            term = jnp.einsum(
+                "bthwc,cd->bthwd", xp[:, dt:dt + tout],
+                kernel[dt].astype(x.dtype),
+                preferred_element_type=jnp.float32)
         out = term if out is None else out + term
     return out.astype(x.dtype)
 
