@@ -25,6 +25,7 @@ output is RGB scaled to [-1, 1].
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -239,6 +240,13 @@ def _flow_level(p1, p2, flow, winsize: int, iterations: int):
         new_fy = (g11 * h2 - g12 * h1) / det
         return jnp.stack([new_fx, new_fy], axis=-1)
 
+    if os.environ.get("VFD_FLOW_UNROLL", "0") != "0":
+        # Unroll experiment: iteration count is static (3), and the while
+        # loop pins carry layouts (profiled f32 21/14-channel relayout
+        # copies at the loop boundary) plus ~ms-scale loop overhead.
+        for i in range(iterations):
+            flow = body(i, flow)
+        return flow
     return jax.lax.fori_loop(0, iterations, body, flow)
 
 
