@@ -247,7 +247,42 @@ def _flow_level(p1, p2, flow, winsize: int, iterations: int):
         for i in range(iterations):
             flow = body(i, flow)
         return flow
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("VFD_FLOW_REFINE", "0") != "0"):
+        # Opt-in pending the e2e A/B: the isolated micro-bench is an exact
+        # tie (tools/bench_flow_refine.py), but the profiled in-step while
+        # cost (~2.3 ms/iter) is interaction-dominated, so only the full
+        # step decides (cf. the morphology-move precedent, BENCH_NOTES.md).
+        return _flow_level_pallas(p1, p2, flow, winsize, iterations)
     return jax.lax.fori_loop(0, iterations, body, flow)
+
+
+def _flow_level_pallas(p1, p2, flow, winsize: int, iterations: int,
+                       *, interpret: bool = False):
+    """TPU production path of ``_flow_level``: per-iteration, the tuned
+    one-hot-matmul warp kernel (ops/pallas/warp.py) then the whole-plane
+    refinement-solve kernel (ops/pallas/flow_refine.py).  Identical math to
+    the XLA body — the elementwise algebra runs f32 and the box blur keeps
+    the CORR_DTYPE bf16-operand/f32-accumulate contract — but with every
+    intermediate VMEM-resident instead of the profiled ~2.3 ms/iteration of
+    while-loop fusion relayouts (BENCH_NOTES.md round-4/5).
+
+    ``interpret=True`` runs both kernels in interpreter mode so tests can
+    pin equality against the XLA body on CPU.
+    """
+    from vfd_gan_tpu.ops.pallas.flow_refine import flow_refine_step_pallas
+    from vfd_gan_tpu.ops.pallas.warp import bilinear_warp_pallas
+
+    p1p = jnp.moveaxis(p1, -1, 1)                 # (N, 5, H, W)
+    flowp = jnp.moveaxis(flow, -1, 1)             # (N, 2, H, W)
+    variant = os.environ.get("VFD_WARP_VARIANT", "v3")
+    for _ in range(iterations):
+        w2 = bilinear_warp_pallas(
+            p2, flowp[:, 0], flowp[:, 1], variant=variant,
+            channel_planar=True, interpret=interpret)
+        flowp = flow_refine_step_pallas(p1p, w2, flowp, winsize,
+                                        interpret=interpret)
+    return jnp.moveaxis(flowp, 1, -1)
 
 
 def _gauss_blur(img, sigma: float):

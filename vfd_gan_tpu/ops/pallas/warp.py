@@ -249,13 +249,17 @@ _V5_BANDS = {128: (48, 11.0), 64: (32, 3.0)}
 def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
                          flow_y: jnp.ndarray, *,
                          interpret: bool = False,
-                         variant: str = "v3") -> jnp.ndarray:
+                         variant: str = "v3",
+                         channel_planar: bool = False) -> jnp.ndarray:
     """Drop-in for ops/flow._bilinear_warp on TPU backends.
 
     fields (N, H, W, C) float; flow_x/flow_y (N, H, W) displacements added
     to the pixel grid and clamped to the image bounds (cv2 convention).
     ``variant`` selects the kernel formulation ("v3" default; "v2" kept
-    for bench comparisons, tools/bench_warp.py).
+    for bench comparisons, tools/bench_warp.py).  ``channel_planar=True``
+    returns ``(N, C, H, W)`` — the kernel's native layout — skipping the
+    channel-last transpose (the fused-refinement path consumes planes,
+    ops/pallas/flow_refine.py).
     """
     n, h, w, c = fields.shape
     ys = jnp.clip(jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y,
@@ -311,7 +315,8 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
             out_shape=jax.ShapeDtypeStruct((n, c, h * w), jnp.float32),
             interpret=interpret,
         )(ft, xs, ys)
-        return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
+        out = out.reshape(n, c, h, w)
+        return out if channel_planar else jnp.transpose(out, (0, 2, 3, 1))
 
     # rows = (source row, channel) so one matmul covers all channels
     ft = jnp.transpose(fields.astype(jnp.float32),
@@ -334,4 +339,5 @@ def bilinear_warp_pallas(fields: jnp.ndarray, flow_x: jnp.ndarray,
         interpret=interpret,
     )(ft, xs, ys)
     # (N, C, H*W) -> (N, H, W, C); XLA fuses this into the consumers
-    return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1))
+    out = out.reshape(n, c, h, w)
+    return out if channel_planar else jnp.transpose(out, (0, 2, 3, 1))
