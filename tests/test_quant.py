@@ -156,3 +156,49 @@ def test_ae_int8_forward_tracks_float():
     got = np.asarray(autoencoder_forward_int8(qpack, x))
     assert np.max(np.abs(got - want)) < 0.12, np.max(np.abs(got - want))
     assert np.mean(np.abs(got - want)) < 0.02, np.mean(np.abs(got - want))
+
+
+def _randomized_xception():
+    from vfd_gan_tpu.models.xception3d import Xception3D
+
+    model = Xception3D(dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 2, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(2), x, False)
+
+    def perturb(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "BatchNorm_0" not in names:
+            return leaf
+        if names[-1] == "var":
+            return jnp.asarray(rng.uniform(0.2, 3.0, leaf.shape), jnp.float32)
+        return jnp.asarray(rng.normal(0.3, 0.5, leaf.shape), jnp.float32)
+
+    return model, jax.tree_util.tree_map_with_path(perturb, variables), x
+
+
+def test_xception_float_mirror_matches_model():
+    from vfd_gan_tpu.quant.qxception import fold_xception, forward_folded
+
+    model, variables, x = _randomized_xception()
+    want = model.apply(variables, x, False)
+    got = forward_folded(fold_xception(variables), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_xception_int8_forward_tracks_float():
+    from vfd_gan_tpu.quant.qxception import (
+        fold_xception,
+        forward_folded,
+        quantize_xception,
+        xception_forward_int8,
+    )
+
+    model, variables, x = _randomized_xception()
+    calib = [jnp.asarray(rng.uniform(-1, 1, x.shape), jnp.float32)] + [x]
+    qpack = quantize_xception(variables, calib)
+    want = np.asarray(forward_folded(fold_xception(variables), x))
+    got = np.asarray(xception_forward_int8(qpack, x))
+    # deeper trunk (28+ quantised convs in sequence) than the other
+    # families: slightly coarser max bound, same mean bound
+    assert np.max(np.abs(got - want)) < 0.2, np.max(np.abs(got - want))
+    assert np.mean(np.abs(got - want)) < 0.02, np.mean(np.abs(got - want))

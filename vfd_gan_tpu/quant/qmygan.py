@@ -58,15 +58,19 @@ def _per_channel_scale(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(absmax > 0, absmax / 127.0, 1.0)
 
 
-def _spatial_conv_i8(x, s_x, w_i8, s_w, bias):
+def _spatial_conv_i8(x, s_x, w_i8, s_w, bias=None, *, stride: int = 1,
+                     padding: int = 1):
     b, t, h, w, c = x.shape
     y = lax.conv_general_dilated(
         _quant(x, s_x).reshape(b * t, h, w, c), w_i8,
-        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (s_x * s_w) + bias
-    return y.reshape(b, t, h, w, -1)
+    y = y.astype(jnp.float32) * (s_x * s_w)
+    if bias is not None:
+        y = y + bias
+    return y.reshape(b, t, y.shape[1], y.shape[2], -1)
 
 
 def _temporal_conv_i8(x, s_x, w_i8, s_w, bias):
@@ -203,11 +207,12 @@ def build_int8_serving(model, variables, *, isize: int, nfr: int,
     """
     from vfd_gan_tpu.models.mygan import Generator
     from vfd_gan_tpu.models.stcnn import AutoEncoder
+    from vfd_gan_tpu.models.xception3d import Xception3D
 
-    if not isinstance(model, (Generator, AutoEncoder)):
+    if not isinstance(model, (Generator, AutoEncoder, Xception3D)):
         raise SystemExit(
-            "--quant int8 supports mygan-generator and c2plus1d "
-            f"(AutoEncoder) checkpoints (got {type(model).__name__})")
+            "--quant int8 supports mygan-generator, c2plus1d (AutoEncoder) "
+            f"and xception checkpoints (got {type(model).__name__})")
     if calib_plist:
         import numpy as np
 
@@ -228,6 +233,13 @@ def build_int8_serving(model, variables, *, isize: int, nfr: int,
         )
         return (quantize_autoencoder(variables, batches),
                 lambda v, x: autoencoder_forward_int8(v, x))
+    if isinstance(model, Xception3D):
+        from vfd_gan_tpu.quant.qxception import (
+            quantize_xception,
+            xception_forward_int8,
+        )
+        return (quantize_xception(variables, batches),
+                lambda v, x: xception_forward_int8(v, x))
     pack = quantize_generator(variables, batches)
     return pack, lambda v, x: generator_forward_int8(v, x)
 
