@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Serving-forward A/B: f32 vs bf16 vs int8-PTQ MyGAN generator on TPU.
+"""Serving-forward A/B: f32 vs bf16 vs int8-PTQ on TPU, per family.
 
 Protocol per BENCH_NOTES.md round-3 recalibration: reps inside ONE jitted
 lax.scan, carry perturbs the operand (unhoistable) and consumes the full
 output; min over interleaved rounds.
 
 Usage: python tools/bench_quant.py [--batch 8] [--reps 50]
+           [--family mygan|c2plus1d|xception]
 """
 from __future__ import annotations
 
@@ -49,25 +50,52 @@ def main():
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--ngf", type=int, default=32)
+    ap.add_argument("--family", default="mygan",
+                    choices=("mygan", "c2plus1d", "xception"))
     args = ap.parse_args()
 
     enable_compilation_cache()
     x = jnp.zeros((args.batch, T, S, S, 3), jnp.float32)
-
-    f32 = Generator(ngf=args.ngf, dtype=jnp.float32)
-    variables = jax.jit(lambda k: f32.init(k, x, False))(jax.random.key(0))
-    bf16 = Generator(ngf=args.ngf, dtype=jnp.bfloat16)
     calib = [jax.random.uniform(k, (1, T, S, S, 3), jnp.float32, -1.0, 1.0)
              for k in jax.random.split(jax.random.key(7), 2)]
-    pack = quantize_generator(variables, calib)
-    folded = fold_generator_bn(variables)
+
+    if args.family == "mygan":
+        f32 = Generator(ngf=args.ngf, dtype=jnp.float32)
+        bf16 = Generator(ngf=args.ngf, dtype=jnp.bfloat16)
+        quantize, fwd_i8 = quantize_generator, generator_forward_int8
+        fold = fold_generator_bn
+    elif args.family == "c2plus1d":
+        from vfd_gan_tpu.models.stcnn import AutoEncoder
+        from vfd_gan_tpu.quant.qstcnn import (
+            autoencoder_forward_int8,
+            quantize_autoencoder,
+        )
+        f32 = AutoEncoder(dtype=jnp.float32)
+        bf16 = AutoEncoder(dtype=jnp.bfloat16)
+        quantize, fwd_i8, fold = (quantize_autoencoder,
+                                  autoencoder_forward_int8, None)
+    else:
+        from vfd_gan_tpu.models.xception3d import Xception3D
+        from vfd_gan_tpu.quant.qxception import (
+            quantize_xception,
+            xception_forward_int8,
+        )
+        f32 = Xception3D(dtype=jnp.float32)
+        bf16 = Xception3D(dtype=jnp.bfloat16)
+        quantize, fwd_i8, fold = (quantize_xception,
+                                  xception_forward_int8, None)
+
+    variables = jax.jit(lambda k: f32.init(k, x, False))(jax.random.key(0))
+    pack = quantize(variables, calib)
 
     forms = {
         "f32": lambda xb: f32.apply(variables, xb, False),
-        "f32-folded": lambda xb: f32.apply(folded, xb, False),
         "bf16": lambda xb: bf16.apply(variables, xb, False),
-        "int8": lambda xb: generator_forward_int8(pack, xb),
+        "int8": lambda xb: fwd_i8(pack, xb),
     }
+    if fold is not None:
+        folded = fold(variables)
+        forms["f32-folded"] = lambda xb: f32.apply(folded, xb, False)
     timers = {n: build_timer(fn, x, args.reps) for n, fn in forms.items()}
     key = jax.random.key(1)
     for n in forms:

@@ -70,6 +70,14 @@ class Config:
     # stats all-reduce over both axes).  For clips too long for one chip's
     # HBM.  Requires nfr % sp == 0 and dp*sp <= device count.
     sp: int = 1
+    # Gradient accumulation: split each batch into `accum` sequential
+    # microbatches inside the fused step (lax.scan), average the gradients,
+    # and take ONE optimiser step.  BatchNorm batch statistics are computed
+    # and the running stats updated per microbatch — exactly the semantics
+    # of running the reference at batchsize/accum with K accumulation steps.
+    # Activation memory scales with the microbatch, enabling effective
+    # batches beyond one chip's HBM.  mygan + supervised engines.
+    accum: int = 1
     # Computation dtype for the model body ("bfloat16" or "float32").
     # Parameters and optimiser state always stay float32.
     compute_dtype: str = "bfloat16"
@@ -132,6 +140,11 @@ class Config:
             raise ValueError("sp must be >= 1 and divide nfr")
         if self.morph_plane not in ("th", "hw"):
             raise ValueError("morph_plane must be 'th' or 'hw'")
+        if self.accum < 1 or self.batchsize % self.accum:
+            raise ValueError("accum must be >= 1 and divide batchsize")
+        if self.accum > 1 and self.model in ("anogan", "ganomaly"):
+            raise ValueError(
+                "--accum supports the mygan and supervised engines")
         return self
 
     def to_json(self) -> str:

@@ -68,6 +68,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def accum_regroup(mesh: Mesh, x, k: int):
+    """``--accum`` helper: reshape ``(k*b, ...)`` -> ``(k, b, ...)`` inside
+    jit, constraining the microbatch dim to the dp axis (and the frame dim
+    to sp on a 2-D mesh) so GSPMD keeps each microbatch data-parallel
+    through the accumulation ``lax.scan``."""
+    y = x.reshape((k, x.shape[0] // k) + x.shape[1:])
+    spec = (P(None, "dp", "sp")
+            if "sp" in mesh.axis_names and y.ndim >= 3 else P(None, "dp"))
+    return jax.lax.with_sharding_constraint(y, NamedSharding(mesh, spec))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a pytree of host arrays with batch-axis sharding (plus
     frame-axis sharding on a 2-D mesh, for leaves that have a frame axis —

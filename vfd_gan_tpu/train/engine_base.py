@@ -60,8 +60,11 @@ class EngineBase:
         sp = getattr(cfg, "sp", 1)
         import jax
         avail = max(1, len(jax.devices()) // sp)
+        # dp must divide the per-step shard unit: the microbatch under
+        # --accum (each scan microbatch stays data-parallel), else the batch.
+        accum = max(1, getattr(cfg, "accum", 1))
         self.mesh = make_mesh(
-            auto_dp(cfg.batchsize, cfg.dp, n_devices=avail), sp)
+            auto_dp(cfg.batchsize // accum, cfg.dp, n_devices=avail), sp)
         self.dirs = make_run_dirs(cfg.result_root, cfg.model,
                                   run_comment(cfg, gan=gan))
         self.summary = SummaryLogger(self.dirs.runs, enabled=cfg.tensorboard)

@@ -41,7 +41,7 @@ from vfd_gan_tpu.ops.flow import video_to_flow_rgb
 from vfd_gan_tpu.ops.image import gray2rgb, threshold
 from vfd_gan_tpu.ops.losses import bce, l2_loss, weighted_bce
 from vfd_gan_tpu.ops.morphology import video_open
-from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
+from vfd_gan_tpu.parallel.mesh import accum_regroup, replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
@@ -134,8 +134,12 @@ class MyGanEngine(EngineBase):
         aug_key, drop_key = jax.random.split(key)
         data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
                                        batch["mask"], self.cfg.isize)
-        g_state, d_state, metrics, viz = self._gan_core(
-            g_state, d_state, data, gt, drop_key)
+        if self.cfg.accum > 1:
+            g_state, d_state, metrics, viz = self._gan_core_accum(
+                g_state, d_state, data, gt, drop_key, self.cfg.accum)
+        else:
+            g_state, d_state, metrics, viz = self._gan_core(
+                g_state, d_state, data, gt, drop_key)
         viz.update({"input": data, "real": real})
         return g_state, d_state, metrics, viz
 
@@ -146,15 +150,67 @@ class MyGanEngine(EngineBase):
         (models/mygannet.py:350-367: G forward, flows, two D passes, G then D
         backward+Adam).  Split from augmentation so the golden parity test
         (tests/test_gan_step_parity.py) can drive it on fixed inputs."""
+        g_grads, d_grads, g_stats, d_stats, metrics, viz = self._gan_grads(
+            g_state.params, g_state.batch_stats, d_state.params,
+            d_state.batch_stats, data, gt, drop_key)
+        g_state = g_state.apply_grads(self.tx_g, g_grads, g_stats)
+        d_state = d_state.apply_grads(self.tx_d, d_grads, d_stats)
+        return g_state, d_state, metrics, viz
+
+    def _gan_core_accum(self, g_state: NetState, d_state: NetState, data,
+                        gt, drop_key, k: int):
+        """``--accum``: the fused step over ``k`` sequential microbatches
+        (lax.scan), averaged gradients, ONE Adam step per network.
+
+        BN batch statistics are computed per microbatch and the running
+        stats chain through the scan — exactly the torch-user semantics of
+        "run at batchsize/k, call optimizer.step() every k batches".
+        Activation memory scales with the microbatch, so effective batches
+        can exceed one chip's HBM.  No reference equivalent (extension)."""
+        datas = accum_regroup(self.mesh, data, k)
+        gts = accum_regroup(self.mesh, gt, k)
+        keys = jax.random.split(drop_key, k)
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, g_state.params)
+        zero_d = jax.tree_util.tree_map(jnp.zeros_like, d_state.params)
+
+        def micro(carry, inp):
+            g_bs, d_bs, gacc, dacc = carry
+            data_i, gt_i, key_i = inp
+            g_gr, d_gr, g_bs, d_bs, metrics, viz = self._gan_grads(
+                g_state.params, g_bs, d_state.params, d_bs, data_i, gt_i,
+                key_i)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g_gr)
+            dacc = jax.tree_util.tree_map(jnp.add, dacc, d_gr)
+            return (g_bs, d_bs, gacc, dacc), (metrics, viz)
+
+        (g_bs, d_bs, gacc, dacc), (mstack, vstack) = jax.lax.scan(
+            micro, (g_state.batch_stats, d_state.batch_stats, zero_g,
+                    zero_d), (datas, gts, keys))
+
+        inv_k = 1.0 / k
+        g_grads = jax.tree_util.tree_map(lambda x: x * inv_k, gacc)
+        d_grads = jax.tree_util.tree_map(lambda x: x * inv_k, dacc)
+        metrics = {name: jnp.mean(v, axis=0) for name, v in mstack.items()}
+        viz = {name: v.reshape((-1,) + v.shape[2:])
+               for name, v in vstack.items()}
+        g_state = g_state.apply_grads(self.tx_g, g_grads, g_bs)
+        d_state = d_state.apply_grads(self.tx_d, d_grads, d_bs)
+        return g_state, d_state, metrics, viz
+
+    def _gan_grads(self, g_params, g_bstats, d_params, d_bstats, data, gt,
+                   drop_key):
+        """Gradients + chained BN stats + telemetry for one (micro)batch —
+        the reference ``optimize_params`` semantics minus the optimiser
+        applies (models/mygannet.py:350-367)."""
         cfg = self.cfg
         ones = jnp.ones((data.shape[0],), jnp.float32)
         zeros = jnp.zeros((data.shape[0],), jnp.float32)
 
         # ---- G forward + generator update (grads flow through l_con only,
         # matching the detached adv path, models/mygannet.py:279-312) ----
-        def g_loss_fn(g_params):
+        def g_loss_fn(gp):
             pred, mut = self.netg.apply(
-                {"params": g_params, "batch_stats": g_state.batch_stats},
+                {"params": gp, "batch_stats": g_bstats},
                 data, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
             # pos_weight quirk: fixed default 2 (models/mygannet.py:265-266)
@@ -162,7 +218,7 @@ class MyGanEngine(EngineBase):
             return err_g_con * cfg.w_con, (pred, mut["batch_stats"])
 
         (g_con_scaled, (pred, g_stats)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(g_state.params)
+            g_loss_fn, has_aux=True)(g_params)
 
         # ---- flow + D inputs (all stop_gradient, models/mygannet.py:279-286)
         pred_sg = jax.lax.stop_gradient(pred)
@@ -175,9 +231,9 @@ class MyGanEngine(EngineBase):
         gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
 
         # ---- D update ----
-        def d_loss_fn(d_params):
+        def d_loss_fn(dp):
             real_out, fake_out, d_stats = self._disc_losses(
-                d_params, d_state.batch_stats, gt_3ch, gt_flow, pre_3ch,
+                dp, d_bstats, gt_3ch, gt_flow, pre_3ch,
                 pre_flow, train=True)
             s_r, sf_r, t_r, tf_r = real_out
             s_f, sf_f, t_f, tf_f = fake_out
@@ -200,7 +256,7 @@ class MyGanEngine(EngineBase):
             return err_d, (aux, d_stats, (sf_r, tf_r, sf_f, tf_f))
 
         (_, (d_aux, d_stats, feats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(d_state.params)
+            d_loss_fn, has_aux=True)(d_params)
 
         # adversarial telemetry (no G gradient by construction)
         sf_r, tf_r, sf_f, tf_f = feats
@@ -211,9 +267,6 @@ class MyGanEngine(EngineBase):
         err_g_adv = err_g_adv_s + err_g_adv_t
         err_g_con = g_con_scaled / cfg.w_con
         err_g = err_g_adv * cfg.w_adv + g_con_scaled
-
-        g_state = g_state.apply_grads(self.tx_g, g_grads, g_stats)
-        d_state = d_state.apply_grads(self.tx_d, d_grads, d_stats)
 
         metrics = dict(d_aux)
         metrics.update({
@@ -229,7 +282,7 @@ class MyGanEngine(EngineBase):
         # (~10 ms/step saved, BENCH_NOTES.md).
         viz = {"gt": gt, "pred": pred_sg,
                "gt_flow": gt_flow, "pre_flow": pre_flow}
-        return g_state, d_state, metrics, viz
+        return g_grads, d_grads, g_stats, d_stats, metrics, viz
 
     def _eval_step_impl(self, g_state: NetState, d_state: NetState, batch):
         """Periodic-test step (reference MyGAN.test body,

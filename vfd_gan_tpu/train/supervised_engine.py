@@ -24,7 +24,7 @@ from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
 from vfd_gan_tpu.ops.image import threshold
 from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
-from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
+from vfd_gan_tpu.parallel.mesh import accum_regroup, replicated, shard_batch
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
@@ -67,15 +67,43 @@ class SupervisedEngine(EngineBase):
         data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
                                        batch["mask"], self.cfg.isize)
 
-        def loss_fn(params):
-            pred, mut = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                data, True, mutable=["batch_stats"],
-                rngs={"dropout": drop_key})
-            return bce(pred, gt), (pred, mut["batch_stats"])
+        def grads_fn(bstats, data_i, gt_i, key_i):
+            def loss_fn(params):
+                pred, mut = self.model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    data_i, True, mutable=["batch_stats"],
+                    rngs={"dropout": key_i})
+                return bce(pred, gt_i), (pred, mut["batch_stats"])
 
-        (loss, (pred, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        k = self.cfg.accum
+        if k <= 1:
+            (loss, (pred, new_stats)), grads = grads_fn(
+                state.batch_stats, data, gt, drop_key)
+        else:
+            # --accum: k sequential microbatches, averaged grads, ONE Adam
+            # step; BN stats chain per microbatch (same contract as
+            # MyGanEngine._gan_core_accum)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def micro(carry, inp):
+                bstats, gacc, lacc = carry
+                data_i, gt_i, key_i = inp
+                (loss_i, (pred_i, bstats)), grads_i = grads_fn(
+                    bstats, data_i, gt_i, key_i)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads_i)
+                return (bstats, gacc, lacc + loss_i), pred_i
+
+            (new_stats, gsum, lsum), preds = jax.lax.scan(
+                micro,
+                (state.batch_stats, zero, jnp.float32(0.0)),
+                (accum_regroup(self.mesh, data, k),
+                 accum_regroup(self.mesh, gt, k),
+                 jax.random.split(drop_key, k)))
+            grads = jax.tree_util.tree_map(lambda x: x / k, gsum)
+            loss = lsum / k
+            pred = preds.reshape((-1,) + preds.shape[2:])
         state = state.apply_grads(self.tx, grads, new_stats)
 
         # summary-only t_pre/m_pre live in EngineBase.viz_morphology, not the
