@@ -168,7 +168,7 @@ def _bilinear_warp(fields, flow_x, flow_y, use_pallas: bool | None = None):
         from vfd_gan_tpu.ops.pallas.warp import bilinear_warp_pallas
         return bilinear_warp_pallas(
             fields, flow_x, flow_y,
-            variant=os.environ.get("VFD_WARP_VARIANT", "v3"))
+            variant=os.environ.get("VFD_WARP_VARIANT", "v5"))
     n, h, w, c = fields.shape
     ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + flow_y
     xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + flow_x
@@ -275,7 +275,7 @@ def _flow_level_pallas(p1, p2, flow, winsize: int, iterations: int,
 
     p1p = jnp.moveaxis(p1, -1, 1)                 # (N, 5, H, W)
     flowp = jnp.moveaxis(flow, -1, 1)             # (N, 2, H, W)
-    variant = os.environ.get("VFD_WARP_VARIANT", "v3")
+    variant = os.environ.get("VFD_WARP_VARIANT", "v5")
     for _ in range(iterations):
         w2 = bilinear_warp_pallas(
             p2, flowp[:, 0], flowp[:, 1], variant=variant,

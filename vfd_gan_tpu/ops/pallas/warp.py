@@ -242,7 +242,9 @@ def _warp_kernel_v5(ft_ref, xs_ref, ys_ref, out_ref, *, h: int, c: int,
 # pixels share the block.  v5 is therefore exactly "bilinear warp with
 # vertical displacement clamped to +-D" — a documented approximation
 # (Farneback refinement flows are winsize-15 box-blurred and far smaller
-# in practice; the e2e default stays v3 unless the A/B wins).
+# in practice; PARITY.md "TPU warp band clamp").  v5 is the TPU production
+# default since the round-5 e2e A/B (41.1 -> 42.2 clips/s, BENCH_NOTES.md);
+# VFD_WARP_VARIANT=v3 restores the unclamped kernel.
 _V5_BANDS = {128: (48, 11.0), 64: (32, 3.0)}
 
 
