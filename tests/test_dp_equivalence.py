@@ -153,6 +153,65 @@ def test_gan_dp2_sp2_matches_dp1(tmp_path, tmp_path_factory):
         np.testing.assert_allclose(a, b, atol=4e-4)
 
 
+def test_gan_dp2_tp2_matches_dp1(tmp_path, tmp_path_factory):
+    """2-D (dp x tp) mesh: the fused MyGAN step with every network's
+    channel axis sharded over tp (Megatron-style column sharding of
+    params, Adam moments and BN state; GSPMD activation collectives)
+    matches the unsharded step on the same global batch — and the state
+    really is channel-sharded (per-device param memory ~1/tp)."""
+    from vfd_gan_tpu.train.gan_engine import MyGanEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    root = str(tmp_path_factory.mktemp("gan_tp_vids"))
+    train_list, test_list = make_dataset(root, n_train=2, n_test=1,
+                                         frames=48, size=72,
+                                         include_originals=False)
+
+    results = {}
+    for dp, tp in ((1, 1), (2, 2)):
+        cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
+                     freq=10 ** 6, dp=dp, tp=tp, lr=1e-4, ngf=4, ndf=4,
+                     result_root=str(tmp_path), tensorboard=False,
+                     compute_dtype="float32", seed=7,
+                     tr_plist=train_list, ts_plist=test_list).validate()
+        eng = MyGanEngine(cfg, *build_iterators(cfg))
+        assert dict(eng.mesh.shape) == (
+            {"dp": 2, "tp": 2} if tp == 2 else {"dp": 1})
+        if tp == 2:
+            # divisible channel axes must actually be tp-sharded on device
+            from jax.sharding import PartitionSpec as P
+            flat = jax.tree_util.tree_flatten_with_path(eng.g_state.params)[0]
+            sharded = [p for path, p in flat
+                       if p.ndim >= 1 and p.shape[-1] % 2 == 0 and p.shape[-1]]
+            assert sharded, "no shardable params found"
+            for p in sharded:
+                spec = p.sharding.spec
+                assert spec[-1] == "tp", (p.shape, spec)
+        batch = next(iter(eng.train_iter))
+        from vfd_gan_tpu.parallel.mesh import shard_batch
+        g_state, d_state, metrics, _ = eng._train_step(
+            eng.g_state, eng.d_state, shard_batch(eng.mesh, batch),
+            jax.random.key(3))
+        results[(dp, tp)] = (
+            {k: float(v) for k, v in metrics.items()},
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(
+                jax.device_get((g_state.params, d_state.params,
+                                d_state.batch_stats)))])
+        eng.close()
+
+    # Same tolerance rationale as test_gan_dp4_matches_dp1 above (tp only
+    # re-tiles the channel axis of each contraction; reduction order over
+    # the unsharded Cin/batch dims is nearly unchanged).
+    m1, m2 = results[(1, 1)][0], results[(2, 2)][0]
+    assert set(m1) == set(m2)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m2[k], rtol=1e-3, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(results[(1, 1)][1], results[(2, 2)][1]):
+        np.testing.assert_allclose(a, b, atol=4e-4)
+
+
 def test_anogan_dp4_matches_dp1(tmp_path, tmp_path_factory):
     """AnoGAN's D-then-updated-D step (z-sampling, two optimisers) is
     DP-invariant — the last engine without a DP-equivalence proof."""

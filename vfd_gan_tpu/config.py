@@ -70,6 +70,14 @@ class Config:
     # stats all-reduce over both axes).  For clips too long for one chip's
     # HBM.  Requires nfr % sp == 0 and dp*sp <= device count.
     sp: int = 1
+    # Tensor-parallel shards: >1 adds a `tp` mesh axis and shards every
+    # network's channel dimension over it (Megatron-style column sharding of
+    # each kernel's output-channel axis; biases, BN state and Adam moments
+    # follow).  Per-device parameter/optimiser memory drops ~1/tp for wide
+    # models (--ngf/--ndf scaling studies); GSPMD inserts the activation
+    # collectives.  Channel dims not divisible by tp stay replicated.
+    # Requires dp*sp*tp <= device count.
+    tp: int = 1
     # Gradient accumulation: split each batch into `accum` sequential
     # microbatches inside the fused step (lax.scan), average the gradients,
     # and take ONE optimiser step.  BatchNorm batch statistics are computed
@@ -138,6 +146,8 @@ class Config:
             raise ValueError("compute_dtype must be bfloat16 or float32")
         if self.sp < 1 or (self.sp > 1 and self.nfr % self.sp):
             raise ValueError("sp must be >= 1 and divide nfr")
+        if self.tp < 1:
+            raise ValueError("tp must be >= 1")
         if self.morph_plane not in ("th", "hw"):
             raise ValueError("morph_plane must be 'th' or 'hw'")
         if self.accum < 1 or self.batchsize % self.accum:

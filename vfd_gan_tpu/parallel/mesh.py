@@ -30,30 +30,37 @@ def auto_dp(batchsize: int, requested: int = 0, n_devices: int | None = None) ->
     return max(dp, 1)
 
 
-def make_mesh(dp: int = 0, sp: int = 1, devices=None) -> Mesh:
-    """Device mesh: 1-D data-parallel, or 2-D ``(dp, sp)`` when ``sp > 1``.
+def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    """Device mesh: 1-D data-parallel, plus optional ``sp`` / ``tp`` axes.
 
     The ``sp`` (sequence-parallel) axis shards the clip's frame dimension
     across chips — GSPMD partitions every temporal op in the fused train
     step over it (the shifted-matmul temporal convs become
     collective-permute halo exchanges, BN batch statistics all-reduce over
-    both axes).  ``dp=0`` uses every device left after ``sp``.
+    both axes).  The ``tp`` (tensor-parallel) axis shards every network's
+    *channel* dimension — parameters, gradients, Adam moments and BN
+    state live split over ``tp`` (see :func:`param_spec`), so per-device
+    weight/optimiser memory drops ~1/tp for wide models.  ``dp=0`` uses
+    every device left after ``sp*tp``.  Axes with size 1 are omitted, so
+    existing 1-D/2-D behaviour is unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
-    if sp <= 1:
-        if dp <= 0:
-            dp = len(devices)
-        if dp > len(devices):
-            raise ValueError(
-                f"requested dp={dp} but only {len(devices)} devices")
-        return Mesh(np.asarray(devices[:dp]), axis_names=("dp",))
+    model = sp * tp
     if dp <= 0:
-        dp = len(devices) // sp
-    if dp * sp > len(devices):
-        raise ValueError(f"requested dp*sp={dp}*{sp} but only "
+        dp = max(1, len(devices) // model)
+    if dp * model > len(devices):
+        raise ValueError(f"requested dp*sp*tp={dp}*{sp}*{tp} but only "
                          f"{len(devices)} devices")
-    return Mesh(np.asarray(devices[:dp * sp]).reshape(dp, sp),
-                axis_names=("dp", "sp"))
+    names, sizes = ["dp"], [dp]
+    if sp > 1:
+        names.append("sp")
+        sizes.append(sp)
+    if tp > 1:
+        names.append("tp")
+        sizes.append(tp)
+    n = int(np.prod(sizes))
+    return Mesh(np.asarray(devices[:n]).reshape(sizes),
+                axis_names=tuple(names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -66,6 +73,34 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def param_spec(tp: int, shape) -> P:
+    """Tensor-parallel placement of one parameter/stat leaf.
+
+    Megatron-style column sharding generalised to this framework's kernels:
+    the *trailing* axis of every leaf is its output-channel dimension
+    (spatial kernels ``(kh, kw, Cin, Cout)``, temporal kernels
+    ``(kt, Cin, Cout)``, biases/BN scale/bias/running stats ``(C,)``,
+    dense ``(in, out)``) — shard it over ``tp`` whenever it divides
+    evenly; anything else (scalars such as Adam's ``count``, channel dims
+    not divisible by ``tp``, e.g. the 1-channel mask head) stays
+    replicated.  GSPMD inserts the activation collectives this implies.
+    """
+    if tp > 1 and len(shape) >= 1 and shape[-1] and shape[-1] % tp == 0:
+        return P(*([None] * (len(shape) - 1) + ["tp"]))
+    return P()
+
+
+def state_shardings(mesh: Mesh, tree):
+    """Shardings pytree for a network state (params + BN stats + Adam
+    moments): channel-sharded over the mesh's ``tp`` axis when present,
+    replicated otherwise.  ``tree`` may hold concrete arrays or the
+    ``jax.eval_shape`` structs of an init function — anything with
+    ``.shape``."""
+    tp = dict(mesh.shape).get("tp", 1)
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, param_spec(tp, x.shape)), tree)
 
 
 def accum_regroup(mesh: Mesh, x, k: int):

@@ -25,7 +25,7 @@ from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
 from vfd_gan_tpu.ops.image import minmax_normalize, rgb_to_gray, threshold
 from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
-from vfd_gan_tpu.parallel.mesh import replicated, shard_batch
+from vfd_gan_tpu.parallel.mesh import shard_batch, state_shardings
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
@@ -66,13 +66,16 @@ class AnoGanEngine(EngineBase):
                     NetState.create(d_vars, self.tx_d))
 
         self.g_state, self.d_state = jax.jit(
-            init_states, out_shardings=replicated(self.mesh))(init_key)
+            init_states, out_shardings=state_shardings(
+                self.mesh, jax.eval_shape(init_states, init_key)))(init_key)
 
         if cfg.resume:
             restored = self.restore_into(
                 cfg.resume, {"netG": self.g_state, "netD": self.d_state})
-            self.g_state = jax.device_put(restored["netG"], replicated(self.mesh))
-            self.d_state = jax.device_put(restored["netD"], replicated(self.mesh))
+            self.g_state = jax.device_put(
+                restored["netG"], state_shardings(self.mesh, restored["netG"]))
+            self.d_state = jax.device_put(
+                restored["netD"], state_shardings(self.mesh, restored["netD"]))
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)

@@ -58,13 +58,14 @@ class EngineBase:
         self.train_iter = train_iter
         self.test_iter = test_iter
         sp = getattr(cfg, "sp", 1)
+        tp = getattr(cfg, "tp", 1)
         import jax
-        avail = max(1, len(jax.devices()) // sp)
+        avail = max(1, len(jax.devices()) // (sp * tp))
         # dp must divide the per-step shard unit: the microbatch under
         # --accum (each scan microbatch stays data-parallel), else the batch.
         accum = max(1, getattr(cfg, "accum", 1))
         self.mesh = make_mesh(
-            auto_dp(cfg.batchsize // accum, cfg.dp, n_devices=avail), sp)
+            auto_dp(cfg.batchsize // accum, cfg.dp, n_devices=avail), sp, tp)
         self.dirs = make_run_dirs(cfg.result_root, cfg.model,
                                   run_comment(cfg, gan=gan))
         self.summary = SummaryLogger(self.dirs.runs, enabled=cfg.tensorboard)

@@ -41,7 +41,8 @@ from vfd_gan_tpu.ops.flow import video_to_flow_rgb
 from vfd_gan_tpu.ops.image import gray2rgb, threshold
 from vfd_gan_tpu.ops.losses import bce, l2_loss, weighted_bce
 from vfd_gan_tpu.ops.morphology import video_open
-from vfd_gan_tpu.parallel.mesh import accum_regroup, replicated, shard_batch
+from vfd_gan_tpu.parallel.mesh import (accum_regroup, shard_batch,
+                                        state_shardings)
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
@@ -78,17 +79,19 @@ class MyGanEngine(EngineBase):
             return (NetState.create(g_vars, self.tx_g),
                     NetState.create(d_vars, self.tx_d))
 
-        repl = replicated(self.mesh)
+        # Replicated on dp/sp meshes; channel-sharded over a tp axis.
+        shardings = state_shardings(self.mesh,
+                                    jax.eval_shape(init_states, init_key))
         self.g_state, self.d_state = jax.jit(
-            init_states, out_shardings=repl)(init_key)
+            init_states, out_shardings=shardings)(init_key)
 
         if cfg.resume:
             restored = self.restore_into(
                 cfg.resume, {"netG": self.g_state, "netD": self.d_state})
-            self.g_state = jax.device_put(restored["netG"],
-                                          replicated(self.mesh))
-            self.d_state = jax.device_put(restored["netD"],
-                                          replicated(self.mesh))
+            self.g_state = jax.device_put(
+                restored["netG"], state_shardings(self.mesh, restored["netG"]))
+            self.d_state = jax.device_put(
+                restored["netD"], state_shardings(self.mesh, restored["netD"]))
             print(f"\n Loaded pretrained G/D weights from {cfg.resume}\n")
 
         # parity-audit escape hatch: genuine cv2 flow on host (SURVEY.md §7)
@@ -423,8 +426,9 @@ class MyGanEngine(EngineBase):
             d_vars = self.netd.init({"params": k}, mask3, mask3, False)
             return NetState.create(d_vars, self.tx_d)
 
-        self.d_state = jax.jit(init_d,
-                               out_shardings=replicated(self.mesh))(kd)
+        self.d_state = jax.jit(
+            init_d, out_shardings=state_shardings(
+                self.mesh, jax.eval_shape(init_d, kd)))(kd)
         print("Reloading Net d")
 
     # ------------------------------------------------------------------

@@ -24,7 +24,8 @@ from vfd_gan_tpu.ops.augment import augment_clips, normalize_clips
 from vfd_gan_tpu.ops.image import threshold
 from vfd_gan_tpu.ops.losses import bce
 from vfd_gan_tpu.ops.morphology import video_open
-from vfd_gan_tpu.parallel.mesh import accum_regroup, replicated, shard_batch
+from vfd_gan_tpu.parallel.mesh import (accum_regroup, shard_batch,
+                                        state_shardings)
 from vfd_gan_tpu.train.checkpoints import save_checkpoint
 from vfd_gan_tpu.train.engine_base import EngineBase, SweepAccumulator
 from vfd_gan_tpu.train.state import NetState, make_adam
@@ -48,13 +49,14 @@ class SupervisedEngine(EngineBase):
                                         sample, False)
             return NetState.create(variables, self.tx)
 
-        self.state = jax.jit(init_state,
-                             out_shardings=replicated(self.mesh))(init_key)
+        self.state = jax.jit(
+            init_state, out_shardings=state_shardings(
+                self.mesh, jax.eval_shape(init_state, init_key)))(init_key)
 
         if cfg.resume:
             restored = self.restore_into(cfg.resume, {"state": self.state})
-            self.state = jax.device_put(restored["state"],
-                                        replicated(self.mesh))
+            self.state = jax.device_put(
+                restored["state"], state_shardings(self.mesh, restored["state"]))
             print(f"\n Loaded pretrained weights from {cfg.resume}\n")
 
         self._train_step = jax.jit(self._train_step_impl,
