@@ -10,6 +10,7 @@ Capability equivalents of the reference primitives:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -28,6 +29,11 @@ from vfd_gan_tpu.utils.init import (
 )
 
 Dtype = Any
+
+
+def _BN_ONEPASS() -> bool:
+    """Read at trace time so tests/benches can toggle per-jit."""
+    return os.environ.get("VFD_BN_ONEPASS", "0") == "1"
 
 
 class TorchBatchNorm(nn.Module):
@@ -63,6 +69,39 @@ class TorchBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif _BN_ONEPASS():
+            # VFD_BN_ONEPASS=1 (measured experiment, BENCH_NOTES.md):
+            # shifted one-pass statistics.  A cheap pilot reduce over the
+            # first batch element gives a per-channel shift c ~ mean, then
+            # ONE fused pass over x computes E[x-c] and E[(x-c)^2]
+            # (XLA fuses same-operand reductions into one read), halving
+            # the big stat-pass HBM traffic vs the two-pass form below.
+            # Unlike the raw E[x^2]-E[x]^2 (catastrophic on near-constant
+            # channels), the subtraction sq - mean_d^2 only cancels by
+            # (mean-c)^2/var ~ O(1): c is within one between-clip std of
+            # the batch mean, so at most ~1 of f32's digits is lost.
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            c = jax.lax.stop_gradient(jnp.mean(xf[:1], axes))
+            if self.axis_name is not None:
+                # the shift must be identical on every replica for the
+                # var identity to hold across the pmean
+                c = jax.lax.pmean(c, self.axis_name)
+            d = xf - c
+            mean_d = jnp.mean(d, axes)
+            sq = jnp.mean(jnp.square(d), axes)
+            n = jnp.float32(x.size // feat)
+            if self.axis_name is not None:
+                mean_d = jax.lax.pmean(mean_d, self.axis_name)
+                sq = jax.lax.pmean(sq, self.axis_name)
+                n = n * jax.lax.psum(1, self.axis_name)
+            mean = c + mean_d
+            var = jnp.maximum(sq - jnp.square(mean_d), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
         else:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
