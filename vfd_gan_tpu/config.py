@@ -60,6 +60,10 @@ class Config:
     # models/mygannet.py:32,120).  Exposed for scaling studies and tests.
     ngf: int = 32
     ndf: int = 32
+    # Xception-3D channel-width multiplier (1.0 = exact reference widths,
+    # xception.py:92-174).  Like --ngf/--ndf for mygan: a scaling knob for
+    # capacity studies and fast multi-device tests of the pipeline path.
+    xwidth: float = 1.0
 
     # ---- TPU-native extensions (no reference equivalent) ----
     # Number of data-parallel shards; 0 = use all local devices.
@@ -78,6 +82,21 @@ class Config:
     # collectives.  Channel dims not divisible by tp stay replicated.
     # Requires dp*sp*tp <= device count.
     tp: int = 1
+    # Pipeline-parallel stages (GPipe): >1 adds a `pp` mesh axis and
+    # stage-shards Xception-3D's eight identity middle blocks over it —
+    # each device holds 8/pp consecutive blocks' params/Adam/BN state, the
+    # batch is cut into `pp_micro` microbatches, and activations hand off
+    # between neighbouring devices via ppermute inside one jitted step
+    # (parallel/pipeline.py).  Composes with dp (dp x pp mesh); the trunk's
+    # dominant parameter mass lives split 1/pp per device.  Currently the
+    # xception model only (the one reference family with a deep
+    # uniform-signature chain).  Requires 8 % pp == 0.
+    pp: int = 1
+    # GPipe microbatches per step (0 = pp).  More microbatches shrink the
+    # pipeline bubble (pp-1 of pp_micro+pp-1 ticks idle); BatchNorm batch
+    # statistics are per-microbatch, exactly like --accum.  Requires
+    # batchsize % pp_micro == 0 and (batchsize/pp_micro) % dp == 0.
+    pp_micro: int = 0
     # Gradient accumulation: split each batch into `accum` sequential
     # microbatches inside the fused step (lax.scan), average the gradients,
     # and take ONE optimiser step.  BatchNorm batch statistics are computed
@@ -155,7 +174,22 @@ class Config:
         if self.accum > 1 and self.model in ("anogan", "ganomaly"):
             raise ValueError(
                 "--accum supports the mygan and supervised engines")
+        if self.pp < 1 or (self.pp > 1 and 8 % self.pp):
+            raise ValueError("pp must be >= 1 and divide the 8 middle blocks")
+        if self.pp > 1:
+            if self.model != "xception":
+                raise ValueError("--pp supports the xception model only")
+            if self.sp > 1 or self.tp > 1 or self.accum > 1:
+                raise ValueError("--pp does not compose with sp/tp/accum")
+        if self.pp_micro < 0 or (self.pp_micro and
+                                 self.batchsize % self.pp_micro):
+            raise ValueError("pp_micro must be >= 0 and divide batchsize")
         return self
+
+    @property
+    def n_pp_micro(self) -> int:
+        """Effective GPipe microbatch count (``--pp_micro``, default pp)."""
+        return self.pp_micro if self.pp_micro else self.pp
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=4)

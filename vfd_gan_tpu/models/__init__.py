@@ -28,7 +28,9 @@ def build_mask_model(name: str, cfg, dtype, axis_name=None):
     if name == "c2plus1d":
         return AutoEncoder(dtype=dtype, axis_name=axis_name)
     if name == "xception":
-        return Xception3D(dtype=dtype, axis_name=axis_name)
+        return Xception3D(dtype=dtype, axis_name=axis_name,
+                          in_channels=cfg.ich,
+                          width_mult=getattr(cfg, "xwidth", 1.0))
     if name == "clstm":
         return ConvLSTMModel(dtype=dtype, axis_name=axis_name)
     raise ValueError(f"unknown supervised model {name!r}")

@@ -13,6 +13,14 @@ upsample stages (1,2,2) -> 1-channel head.
 Note: the reference's "SepaConv" is *not* depthwise-separable — it is a full
 (1,3,3) conv followed by a full pointwise conv, each followed by ReLU
 (xception.py:7-21); we reproduce that faithfully.
+
+The module is written setup-style and split into ``front`` / ``middles`` /
+``back`` methods (``__call__`` chains them, bit-identical to the original
+fused form): the 8 identity middle blocks share one signature, which is
+exactly the chain the GPipe pipeline primitive (parallel/pipeline.py)
+stage-shards over a ``pp`` mesh axis.  Parameter names and init values are
+unchanged (flax derives init RNGs from parameter *paths*, not creation
+order), so checkpoints and the ``.pth`` converters are unaffected.
 """
 
 from __future__ import annotations
@@ -28,6 +36,8 @@ from vfd_gan_tpu.ops.resize import upsample2x
 from vfd_gan_tpu.utils.init import dcgan_normal_init, torch_default_init
 
 Dtype = Any
+
+N_MIDDLE_BLOCKS = 8  # identity 728-channel blocks (reference xception.py:107-115)
 
 
 class SepaConv(nn.Module):
@@ -114,43 +124,84 @@ class DeConvBlock(nn.Module):
 
 
 class Xception3D(nn.Module):
-    """Full Xception trunk + upsampling decoder (reference: xception.py:92-174)."""
+    """Full Xception trunk + upsampling decoder (reference: xception.py:92-174).
+
+    ``width_mult`` scales every channel width (1.0 = exact reference widths;
+    narrow settings exist for fast pipeline-parallel tests/dry runs — the
+    728-channel trunk is otherwise too heavy for the 1-core CPU harness).
+    """
 
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    in_channels: int = 3
+    width_mult: float = 1.0
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        bn = lambda name: VideoBatchNorm(dtype=self.dtype,
-                                         axis_name=self.axis_name, name=name)
-        blk = lambda f, reps, s, swr, gf, name: XceptionBlock(
-            f, reps, s, swr, gf, dtype=self.dtype, axis_name=self.axis_name,
-            name=name)
+    def _w(self, c: int) -> int:
+        return max(1, round(c * self.width_mult))
 
-        cin = x.shape[-1]
-        k1 = self.param("stem1_kernel", dcgan_normal_init(), (3, 3, cin, 32))
-        x = nn.relu(bn("stem1_bn")(spatial_conv(x, k1, stride=2, padding=1),
-                                   train))
-        k2 = self.param("stem2_kernel", dcgan_normal_init(), (3, 3, 32, 64))
-        x = nn.relu(bn("stem2_bn")(spatial_conv(x, k2, padding=1), train))
+    def setup(self):
+        w = self._w
+        self.stem1_kernel = self.param(
+            "stem1_kernel", dcgan_normal_init(), (3, 3, self.in_channels, w(32)))
+        self.stem1_bn = VideoBatchNorm(dtype=self.dtype,
+                                       axis_name=self.axis_name)
+        self.stem2_kernel = self.param(
+            "stem2_kernel", dcgan_normal_init(), (3, 3, w(32), w(64)))
+        self.stem2_bn = VideoBatchNorm(dtype=self.dtype,
+                                       axis_name=self.axis_name)
 
-        x = blk(128, 2, 2, False, True, "entry1")(x, train)
-        x = blk(256, 2, 2, False, True, "entry2")(x, train)
-        x = blk(728, 2, 2, False, True, "entry3")(x, train)
-        for i in range(8):
-            x = blk(728, 3, 1, True, True, f"middle{i + 1}")(x, train)
-        x = blk(1024, 2, 1, True, False, "exit")(x, train)
+        blk = lambda f, reps, s, swr, gf, axis: XceptionBlock(
+            f, reps, s, swr, gf, dtype=self.dtype, axis_name=axis)
+        self.entry1 = blk(w(128), 2, 2, False, True, self.axis_name)
+        self.entry2 = blk(w(256), 2, 2, False, True, self.axis_name)
+        self.entry3 = blk(w(728), 2, 2, False, True, self.axis_name)
+        for i in range(N_MIDDLE_BLOCKS):
+            setattr(self, f"middle{i + 1}",
+                    blk(w(728), 3, 1, True, True, self.axis_name))
+        self.exit = blk(w(1024), 2, 1, True, False, self.axis_name)
 
-        x = nn.relu(bn("head1_bn")(SepaConv(1536, dtype=self.dtype,
-                                            name="head1")(x), train))
-        x = nn.relu(bn("head2_bn")(SepaConv(2048, dtype=self.dtype,
-                                            name="head2")(x), train))
+        self.head1 = SepaConv(w(1536), dtype=self.dtype)
+        self.head1_bn = VideoBatchNorm(dtype=self.dtype,
+                                       axis_name=self.axis_name)
+        self.head2 = SepaConv(w(2048), dtype=self.dtype)
+        self.head2_bn = VideoBatchNorm(dtype=self.dtype,
+                                       axis_name=self.axis_name)
 
-        for i, f in enumerate((1024, 256, 128, 32)):
-            x = DeConvBlock(f, dtype=self.dtype, axis_name=self.axis_name,
-                            name=f"deconv{i + 1}")(x, train)
+        for i, f in enumerate((w(1024), w(256), w(128), w(32))):
+            setattr(self, f"deconv{i + 1}",
+                    DeConvBlock(f, dtype=self.dtype, axis_name=self.axis_name))
 
-        kh = self.param("head_kernel", dcgan_normal_init(), (3, 3, 32, 1))
-        bh = self.param("head_bias", torch_default_init(32 * 9), (1,))
-        y = spatial_conv(x, kh, padding=1) + bh.astype(x.dtype)
+        self.head_kernel = self.param(
+            "head_kernel", dcgan_normal_init(), (3, 3, w(32), 1))
+        self.head_bias = self.param(
+            "head_bias", torch_default_init(w(32) * 9), (1,))
+
+    def front(self, x, train: bool = False):
+        """Stem + entry blocks: input video -> 728-channel trunk features."""
+        x = nn.relu(self.stem1_bn(
+            spatial_conv(x, self.stem1_kernel, stride=2, padding=1), train))
+        x = nn.relu(self.stem2_bn(
+            spatial_conv(x, self.stem2_kernel, padding=1), train))
+        x = self.entry1(x, train)
+        x = self.entry2(x, train)
+        return self.entry3(x, train)
+
+    def middles(self, x, train: bool = False):
+        """The 8 signature-preserving middle blocks (the GPipe stage chain)."""
+        for i in range(N_MIDDLE_BLOCKS):
+            x = getattr(self, f"middle{i + 1}")(x, train)
+        return x
+
+    def back(self, x, train: bool = False):
+        """Exit block + SepaConv heads + decoder + sigmoid mask head."""
+        x = self.exit(x, train)
+        x = nn.relu(self.head1_bn(self.head1(x), train))
+        x = nn.relu(self.head2_bn(self.head2(x), train))
+        for i in range(4):
+            x = getattr(self, f"deconv{i + 1}")(x, train)
+        y = spatial_conv(x, self.head_kernel, padding=1) \
+            + self.head_bias.astype(x.dtype)
         return nn.sigmoid(y.astype(jnp.float32))
+
+    def __call__(self, x, train: bool = False):
+        return self.back(self.middles(self.front(x, train), train), train)

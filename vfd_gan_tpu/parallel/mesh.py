@@ -30,8 +30,9 @@ def auto_dp(batchsize: int, requested: int = 0, n_devices: int | None = None) ->
     return max(dp, 1)
 
 
-def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, devices=None) -> Mesh:
-    """Device mesh: 1-D data-parallel, plus optional ``sp`` / ``tp`` axes.
+def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, pp: int = 1,
+              devices=None) -> Mesh:
+    """Device mesh: 1-D data-parallel, plus optional ``sp``/``tp``/``pp`` axes.
 
     The ``sp`` (sequence-parallel) axis shards the clip's frame dimension
     across chips — GSPMD partitions every temporal op in the fused train
@@ -40,16 +41,21 @@ def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, devices=None) -> Mesh:
     both axes).  The ``tp`` (tensor-parallel) axis shards every network's
     *channel* dimension — parameters, gradients, Adam moments and BN
     state live split over ``tp`` (see :func:`param_spec`), so per-device
-    weight/optimiser memory drops ~1/tp for wide models.  ``dp=0`` uses
-    every device left after ``sp*tp``.  Axes with size 1 are omitted, so
-    existing 1-D/2-D behaviour is unchanged.
+    weight/optimiser memory drops ~1/tp for wide models.  The ``pp``
+    (pipeline-parallel) axis carries GPipe stage sharding
+    (:mod:`vfd_gan_tpu.parallel.pipeline`): stage-stacked block params /
+    Adam moments / BN state live split, with ``ppermute`` activation
+    hand-offs between neighbouring devices — ``pp`` is the *last* mesh
+    axis so stages are ICI neighbours.  ``dp=0`` uses every device left
+    after ``sp*tp*pp``.  Axes with size 1 are omitted, so existing
+    1-D/2-D behaviour is unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
-    model = sp * tp
+    model = sp * tp * pp
     if dp <= 0:
         dp = max(1, len(devices) // model)
     if dp * model > len(devices):
-        raise ValueError(f"requested dp*sp*tp={dp}*{sp}*{tp} but only "
+        raise ValueError(f"requested dp*sp*tp*pp={dp}*{sp}*{tp}*{pp} but only "
                          f"{len(devices)} devices")
     names, sizes = ["dp"], [dp]
     if sp > 1:
@@ -58,6 +64,9 @@ def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, devices=None) -> Mesh:
     if tp > 1:
         names.append("tp")
         sizes.append(tp)
+    if pp > 1:
+        names.append("pp")
+        sizes.append(pp)
     n = int(np.prod(sizes))
     return Mesh(np.asarray(devices[:n]).reshape(sizes),
                 axis_names=tuple(names))

@@ -66,7 +66,8 @@ def _tree_where(pred, a, b):
 
 
 def gpipe_apply(stage_fn, stacked_params, stacked_stats, x, *,
-                n_micro: int, mesh: Mesh, axis: str = "pp"):
+                n_micro: int, mesh: Mesh, axis: str = "pp",
+                batch_axis: str | None = None):
     """Run ``x`` through the stage chain on the mesh's ``pp`` axis.
 
     Args:
@@ -78,6 +79,12 @@ def gpipe_apply(stage_fn, stacked_params, stacked_stats, x, *,
         axis size; each device runs S/pp consecutive blocks.
       x: global batch ``(B, ...)`` with ``B % n_micro == 0``.
       n_micro: number of GPipe microbatches M.
+      batch_axis: optional second mesh axis (e.g. ``"dp"``) to shard each
+        microbatch's batch dim over — dp x pp composition.  ``stage_fn``
+        then sees the *local* batch shard; batch-statistic layers inside it
+        must reduce over ``batch_axis`` themselves (``lax.pmean``) to keep
+        global-batch semantics, since inside ``shard_map`` the batch axis
+        is explicit rather than GSPMD-implicit.
 
     Returns ``(y, new_stacked_stats)`` with ``y.shape == x.shape`` and the
     stats tree updated once per (stage, microbatch) in microbatch order.
@@ -91,6 +98,11 @@ def gpipe_apply(stage_fn, stacked_params, stacked_stats, x, *,
     b, m = x.shape[0], n_micro
     if b % m:
         raise ValueError(f"batch {b} not divisible by n_micro {m}")
+    if batch_axis is not None:
+        dpn = dict(mesh.shape)[batch_axis]
+        if (b // m) % dpn:
+            raise ValueError(f"microbatch {b // m} not divisible by "
+                             f"{batch_axis}={dpn}")
     x_mb = x.reshape((m, b // m) + x.shape[1:])
 
     def local_chain(p_loc, s_loc, xm):
@@ -133,12 +145,13 @@ def gpipe_apply(stage_fn, stacked_params, stacked_stats, x, *,
         return y, s
 
     lead = P(axis)
+    xspec = P(None, batch_axis) if batch_axis is not None else P()
     stage_spec_p = jax.tree_util.tree_map(lambda _: lead, stacked_params)
     stage_spec_s = jax.tree_util.tree_map(lambda _: lead, stacked_stats)
     y_mb, new_stats = shard_map(
         body, mesh=mesh,
-        in_specs=(stage_spec_p, stage_spec_s, P()),
-        out_specs=(P(), stage_spec_s),
+        in_specs=(stage_spec_p, stage_spec_s, xspec),
+        out_specs=(xspec, stage_spec_s),
         check_vma=False,
     )(stacked_params, stacked_stats, x_mb)
     return y_mb.reshape(x.shape), new_stats

@@ -59,13 +59,17 @@ class EngineBase:
         self.test_iter = test_iter
         sp = getattr(cfg, "sp", 1)
         tp = getattr(cfg, "tp", 1)
+        pp = getattr(cfg, "pp", 1)
         import jax
-        avail = max(1, len(jax.devices()) // (sp * tp))
+        avail = max(1, len(jax.devices()) // (sp * tp * pp))
         # dp must divide the per-step shard unit: the microbatch under
-        # --accum (each scan microbatch stays data-parallel), else the batch.
-        accum = max(1, getattr(cfg, "accum", 1))
+        # --accum (each scan microbatch stays data-parallel), else the batch
+        # (under --pp, the GPipe microbatch).
+        accum = max(1, getattr(cfg, "accum", 1),
+                    cfg.n_pp_micro if pp > 1 else 1)
         self.mesh = make_mesh(
-            auto_dp(cfg.batchsize // accum, cfg.dp, n_devices=avail), sp, tp)
+            auto_dp(cfg.batchsize // accum, cfg.dp, n_devices=avail),
+            sp, tp, pp)
         self.dirs = make_run_dirs(cfg.result_root, cfg.model,
                                   run_comment(cfg, gan=gan))
         self.summary = SummaryLogger(self.dirs.runs, enabled=cfg.tensorboard)

@@ -38,6 +38,14 @@ class SupervisedEngine(EngineBase):
         self.model = build_mask_model(cfg.model, cfg, dtype)
         self.tx = make_adam(cfg.lr, cfg.beta1)
 
+        # --pp: GPipe over Xception's middle-block chain (parallel/pp_xception);
+        # state lives stage-stacked on the pp mesh axis, checkpoints stay
+        # canonical via stack_state/unstack_state.
+        self.pipe = None
+        if cfg.pp > 1:
+            from vfd_gan_tpu.parallel.pp_xception import XceptionPipeline
+            self.pipe = XceptionPipeline(self.model, self.mesh, cfg.n_pp_micro)
+
         key = jax.random.key(cfg.seed)
         self.key, init_key = jax.random.split(key)
 
@@ -47,21 +55,40 @@ class SupervisedEngine(EngineBase):
                                 cfg.ich), jnp.float32)
             variables = self.model.init({"params": kp, "dropout": kdrop},
                                         sample, False)
+            if self.pipe is not None:
+                from vfd_gan_tpu.parallel.pp_xception import stack_middles
+                variables = {
+                    "params": stack_middles(variables["params"]),
+                    "batch_stats": stack_middles(variables["batch_stats"])}
             return NetState.create(variables, self.tx)
 
         self.state = jax.jit(
-            init_state, out_shardings=state_shardings(
-                self.mesh, jax.eval_shape(init_state, init_key)))(init_key)
+            init_state, out_shardings=self._state_shardings(
+                jax.eval_shape(init_state, init_key)))(init_key)
 
         if cfg.resume:
-            restored = self.restore_into(cfg.resume, {"state": self.state})
-            self.state = jax.device_put(
-                restored["state"], state_shardings(self.mesh, restored["state"]))
+            if self.pipe is None:
+                target = self.state
+            else:
+                from vfd_gan_tpu.parallel.pp_xception import unstack_state
+                target = unstack_state(self.state)
+            restored = self.restore_into(cfg.resume, {"state": target})
+            state = restored["state"]
+            if self.pipe is not None:
+                from vfd_gan_tpu.parallel.pp_xception import stack_state
+                state = stack_state(state)
+            self.state = jax.device_put(state, self._state_shardings(state))
             print(f"\n Loaded pretrained weights from {cfg.resume}\n")
 
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _state_shardings(self, tree):
+        if self.pipe is None:
+            return state_shardings(self.mesh, tree)
+        from vfd_gan_tpu.parallel.pp_xception import pp_state_shardings
+        return pp_state_shardings(self.mesh, tree)
 
     # -- jitted steps ------------------------------------------------------
     def _train_step_impl(self, state: NetState, batch, key):
@@ -71,11 +98,16 @@ class SupervisedEngine(EngineBase):
 
         def grads_fn(bstats, data_i, gt_i, key_i):
             def loss_fn(params):
-                pred, mut = self.model.apply(
-                    {"params": params, "batch_stats": bstats},
-                    data_i, True, mutable=["batch_stats"],
-                    rngs={"dropout": key_i})
-                return bce(pred, gt_i), (pred, mut["batch_stats"])
+                if self.pipe is not None:
+                    pred, new_stats = self.pipe.apply_train(
+                        params, bstats, data_i, key_i)
+                else:
+                    pred, mut = self.model.apply(
+                        {"params": params, "batch_stats": bstats},
+                        data_i, True, mutable=["batch_stats"],
+                        rngs={"dropout": key_i})
+                    new_stats = mut["batch_stats"]
+                return bce(pred, gt_i), (pred, new_stats)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
@@ -116,7 +148,10 @@ class SupervisedEngine(EngineBase):
     def _eval_step_impl(self, state: NetState, batch):
         data, real, gt = normalize_clips(batch["data"], batch["real"],
                                          batch["mask"])
-        pred = self.model.apply(state.variables(), data, False)
+        if self.pipe is not None:
+            pred = self.pipe.apply_eval(state.params, state.batch_stats, data)
+        else:
+            pred = self.model.apply(state.variables(), data, False)
         m_pre = video_open(threshold(pred), self.cfg.morph_plane)
         return bce(pred, gt), gt, pred, m_pre, data, real
 
@@ -156,7 +191,13 @@ class SupervisedEngine(EngineBase):
         return roc, pr, f1
 
     def _ckpt_tree(self):
-        return {"state": self.state, "step": self.global_step,
+        state = self.state
+        if self.pipe is not None:
+            # checkpoints stay in the canonical middle1..middle8 layout so
+            # pp and non-pp runs (and the .pth converters) interchange
+            from vfd_gan_tpu.parallel.pp_xception import unstack_state
+            state = unstack_state(state)
+        return {"state": state, "step": self.global_step,
                 "loop": self._loop_state()}
 
     def _save_weights(self, head: str) -> None:
