@@ -88,7 +88,7 @@ def test_capacity_drops_overflow_tokens():
     """All tokens routed to one expert + capacity 1: only the first token
     contributes; the rest drop to zero output."""
     params, _, x = _setup(seed=5)
-    router = jnp.zeros((D, E)).at[:, 0].set(0.0)  # uniform -> argmax = 0
+    router = jnp.zeros((D, E))  # uniform logits; argmax ties break to 0
     assert capacity(T, E, 0.25) == 1
     y, aux = moe_apply(_expert_fn, params, router, x, capacity_factor=0.25)
     y = np.asarray(y)

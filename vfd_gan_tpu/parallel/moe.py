@@ -27,6 +27,8 @@ per-token expert oracle exactly (the equivalence the tests pin).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -43,7 +45,7 @@ def expert_shardings(mesh: Mesh, tree, axis: str = "ep"):
 
 def capacity(n_tokens: int, n_experts: int, capacity_factor: float) -> int:
     """Static per-expert buffer size C = ceil(cf * T / E), at least 1."""
-    return max(1, -(-int(capacity_factor * n_tokens) // n_experts))
+    return max(1, math.ceil(capacity_factor * n_tokens / n_experts))
 
 
 def moe_apply(expert_fn, expert_params, router_w, x, *,
@@ -84,7 +86,7 @@ def moe_apply(expert_fn, expert_params, router_w, x, *,
     slot = jnp.max(pos, axis=-1)                            # (T,)
     kept = slot < c
     # dispatch (T, E, C): one-hot over both expert and capacity slot
-    disp = (onehot.astype(x.dtype)
+    disp = (onehot.astype(x.dtype)[:, :, None]
             * jax.nn.one_hot(jnp.clip(slot, 0, c - 1), c, dtype=x.dtype)[
                 :, None, :]
             * kept[:, None, None].astype(x.dtype))
