@@ -147,6 +147,19 @@ class Config:
     # sweep is pure waste).  Costs device memory: ~3 MB f32 per test clip
     # at 128^2 x 16 frames.  Near-exact — see PARITY.md "gt-flow cache".
     cache_gt_flow: bool = False
+    # Fidelity mode: replicate the reference's train/eval-mode bugs for
+    # score-identical runs (PARITY.md "train/eval-mode quirks").  By default
+    # this framework uses correct mode handling (a documented divergence);
+    # with the flag on: (a) MyGAN's periodic test sweep runs G and D in
+    # *train* mode — dropout active, BN normalising by batch stats and
+    # mutating the running stats — because the reference's MyGAN.test never
+    # calls .eval() (models/mygannet.py:369-441); (b) STCNN-family and
+    # AnoGAN training runs in *eval* mode after the first periodic test —
+    # dropout off, BN frozen at running stats — because their test() calls
+    # .eval() and never switches back (lib/train_stcnn.py:143,
+    # models/anogan.py:145-147).  GANomaly never ran in the reference, so
+    # the flag has no effect there.
+    ref_mode_quirks: bool = False
 
     def validate(self) -> "Config":
         if self.model not in MODELS:
@@ -184,6 +197,10 @@ class Config:
         if self.pp_micro < 0 or (self.pp_micro and
                                  self.batchsize % self.pp_micro):
             raise ValueError("pp_micro must be >= 0 and divide batchsize")
+        if self.ref_mode_quirks and self.accum > 1:
+            # the reference has no gradient accumulation; a fidelity run
+            # must match its per-step semantics exactly
+            raise ValueError("--ref_mode_quirks does not compose with --accum")
         return self
 
     @property

@@ -77,19 +77,21 @@ class AnoGanEngine(EngineBase):
             self.d_state = jax.device_put(
                 restored["netD"], state_shardings(self.mesh, restored["netD"]))
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1),
+                                   static_argnums=(4,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, g_state: NetState, d_state: NetState, batch,
-                         key):
+                         key, train_mode: bool = True):
         cfg = self.cfg
         aug_key, z_key, drop_key = jax.random.split(key, 3)
         data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
                                        batch["mask"], cfg.isize)
         z = jax.random.normal(z_key, (data.shape[0], Z_DIM), jnp.float32)
         g_state, d_state, fake_sg, metrics = self._ano_core(
-            g_state, d_state, real, z, drop_key)
+            g_state, d_state, real, z, drop_key, train_mode)
         pred = predict_forgery(fake_sg, real)
         # summary-only t_pre/m_pre move to EngineBase.viz_morphology (the
         # eval step keeps them inline — there they feed every sweep batch's
@@ -99,30 +101,52 @@ class AnoGanEngine(EngineBase):
         return g_state, d_state, metrics, viz
 
     def _ano_core(self, g_state: NetState, d_state: NetState, real, z,
-                  drop_key):
+                  drop_key, train_mode: bool = True):
         """One alternating update from post-augment inputs (the reference's
         optimize_params, anogan.py:229-250); golden-parity-tested against it
-        in tests/test_anogan_step_parity.py."""
+        in tests/test_anogan_step_parity.py.
+
+        ``train_mode=False`` is the ``--ref_mode_quirks`` stuck-in-eval
+        path: the reference's test() switches netg/netd to eval mode and
+        never back (models/anogan.py:145-147), so post-first-test training
+        runs without dropout, normalising by FROZEN BN running stats — the
+        optimisers still step, but none of the three per-step BN stat
+        mutations happen."""
         b = real.shape[0]
         ones, zeros = jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)
 
+        def g_fwd(g_params):
+            if train_mode:
+                return self.netg.apply(
+                    {"params": g_params,
+                     "batch_stats": g_state.batch_stats},
+                    z, True, mutable=["batch_stats"],
+                    rngs={"dropout": drop_key})
+            return (self.netg.apply(
+                {"params": g_params, "batch_stats": g_state.batch_stats},
+                z, False), {"batch_stats": g_state.batch_stats})
+
+        def d_fwd(d_params, bstats, video):
+            if train_mode:
+                (score, feat), mut = self.netd.apply(
+                    {"params": d_params, "batch_stats": bstats},
+                    video, True, mutable=["batch_stats"])
+                return score, mut["batch_stats"]
+            score, _feat = self.netd.apply(
+                {"params": d_params, "batch_stats": bstats}, video, False)
+            return score, bstats
+
         # G forward once; its output feeds both updates (anogan.py:237-247).
-        fake, g_mut = self.netg.apply(
-            {"params": g_state.params, "batch_stats": g_state.batch_stats},
-            z, True, mutable=["batch_stats"], rngs={"dropout": drop_key})
+        fake, g_mut = g_fwd(g_state.params)
         fake_sg = jax.lax.stop_gradient(fake)
 
         # ---- D step (real -> 1, detached fake -> 0) ----
         def d_loss_fn(d_params):
-            (s_real, _), mut = self.netd.apply(
-                {"params": d_params, "batch_stats": d_state.batch_stats},
-                real, True, mutable=["batch_stats"])
+            s_real, bstats = d_fwd(d_params, d_state.batch_stats, real)
             loss_real = bce(s_real, ones)
-            (s_fake, _), mut = self.netd.apply(
-                {"params": d_params, "batch_stats": mut["batch_stats"]},
-                fake_sg, True, mutable=["batch_stats"])
+            s_fake, bstats = d_fwd(d_params, bstats, fake_sg)
             loss_fake = bce(s_fake, zeros)
-            return loss_real + loss_fake, (mut["batch_stats"],)
+            return loss_real + loss_fake, (bstats,)
 
         (d_loss, (d_stats,)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state.params)
@@ -132,14 +156,9 @@ class AnoGanEngine(EngineBase):
         # reference's fresh netd(gen_fake) forward also mutates D's BN
         # running stats a third time this step — keep that mutation.
         def g_loss_fn(g_params):
-            fk, mut = self.netg.apply(
-                {"params": g_params, "batch_stats": g_state.batch_stats},
-                z, True, mutable=["batch_stats"], rngs={"dropout": drop_key})
-            (s_fake, _), d_mut = self.netd.apply(
-                {"params": d_state.params, "batch_stats": d_state.batch_stats},
-                fk, True, mutable=["batch_stats"])
-            return bce(s_fake, ones), (mut["batch_stats"],
-                                       d_mut["batch_stats"])
+            fk, mut = g_fwd(g_params)
+            s_fake, d_bstats = d_fwd(d_state.params, d_state.batch_stats, fk)
+            return bce(s_fake, ones), (mut["batch_stats"], d_bstats)
 
         (g_loss, (g_stats, d_stats_g)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(g_state.params)
@@ -175,7 +194,8 @@ class AnoGanEngine(EngineBase):
     # ------------------------------------------------------------------
     def _do_train_step(self, sharded, step_key):
         self.g_state, self.d_state, metrics, viz = self._train_step(
-            self.g_state, self.d_state, sharded, step_key)
+            self.g_state, self.d_state, sharded, step_key,
+            not self.stuck_in_eval)
         return metrics, viz
 
     def _update_train_videos(self, viz) -> None:

@@ -321,6 +321,20 @@ class EngineBase:
             self._viz_morph = jax.jit(_morph)
         return self._viz_morph(pred)
 
+    # -- reference fidelity mode -------------------------------------------
+    @property
+    def stuck_in_eval(self) -> bool:
+        """Under ``--ref_mode_quirks``: has the reference's ``.eval()``
+        latch engaged?  The reference's STCNN/AnoGAN ``test()`` switches the
+        nets to eval mode and never back (lib/train_stcnn.py:143,
+        models/anogan.py:145-147), so every training step after the FIRST
+        periodic test runs without dropout and with frozen BN stats.  Our
+        loop tests at step ``freq``, *after* that step's train update, so
+        the latch holds from step ``freq + 1`` — derived from
+        ``global_step`` so it survives resume without widening the
+        checkpoint schema."""
+        return self.cfg.ref_mode_quirks and self.global_step > self.cfg.freq
+
     # -- misc --------------------------------------------------------------
     def weight_path(self, name: str) -> str:
         return os.path.join(self.dirs.weights, name)

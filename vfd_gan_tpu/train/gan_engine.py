@@ -106,6 +106,7 @@ class MyGanEngine(EngineBase):
                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._eval_step_cached = jax.jit(self._eval_step_cached_impl)
+        self._eval_step_quirk = jax.jit(self._eval_step_quirk_impl)
         # --cache_gt_flow: clip index -> device (T, H, W, 3) gt flow video
         self._gt_flow_cache: dict[int, jax.Array] = {}
 
@@ -301,7 +302,7 @@ class MyGanEngine(EngineBase):
         gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
         out = self._eval_tail(d_state, data, real, gt, pred, gt_3ch, pre_3ch,
                               gt_flow, pre_flow)
-        return out + (gt_flow,)
+        return out[:4] + (gt_flow,)
 
     def _eval_step_cached_impl(self, g_state: NetState, d_state: NetState,
                                batch, gt_flow_clips):
@@ -322,19 +323,22 @@ class MyGanEngine(EngineBase):
         gt_flow = jnp.stack(gt_flow_clips)
         pre_flow = self._flow(pre_3ch, streams=1)
         return self._eval_tail(d_state, data, real, gt, pred, gt_3ch,
-                               pre_3ch, gt_flow, pre_flow)
+                               pre_3ch, gt_flow, pre_flow)[:4]
 
     def _eval_tail(self, d_state: NetState, data, real, gt, pred, gt_3ch,
-                   pre_3ch, gt_flow, pre_flow):
+                   pre_3ch, gt_flow, pre_flow, train: bool = False):
         cfg = self.cfg
         ones = jnp.ones((data.shape[0],), jnp.float32)
         zeros = jnp.zeros((data.shape[0],), jnp.float32)
         t_pre = threshold(pred)
         m_pre = video_open(t_pre, self.cfg.morph_plane)
 
-        real_out, fake_out, _ = self._disc_losses(
+        # train=True is the --ref_mode_quirks path: D normalises by batch
+        # stats and mutates its running stats twice, exactly like the
+        # reference's never-.eval()'d test sweep (models/mygannet.py:400-409)
+        real_out, fake_out, d_stats = self._disc_losses(
             d_state.params, d_state.batch_stats, gt_3ch, gt_flow, pre_3ch,
-            pre_flow, train=False)
+            pre_flow, train=train)
         s_r, sf_r, t_r, tf_r = real_out
         s_f, sf_f, t_f, tf_f = fake_out
 
@@ -364,7 +368,29 @@ class MyGanEngine(EngineBase):
                                    + metrics["d/err_d_fake/test"]) * 0.5
         viz = {"input": data, "real": real, "gt": gt, "pred": pred,
                "t_pre": t_pre, "m_pre": m_pre}
-        return gt, m_pre, metrics, viz
+        return gt, m_pre, metrics, viz, d_stats
+
+    def _eval_step_quirk_impl(self, g_state: NetState, d_state: NetState,
+                              batch, key):
+        """``--ref_mode_quirks`` periodic-test step: the reference's
+        MyGAN.test never calls ``.eval()`` (models/mygannet.py:369-441), so
+        G runs with dropout active and G/D BatchNorms normalise by batch
+        statistics AND mutate their running stats during the sweep.
+        Returns the updated G/D batch stats for the engine to fold back."""
+        data, real, gt = normalize_clips(batch["data"], batch["real"],
+                                         batch["mask"])
+        pred, g_mut = self.netg.apply(
+            {"params": g_state.params, "batch_stats": g_state.batch_stats},
+            data, True, mutable=["batch_stats"], rngs={"dropout": key})
+        gt_3ch = gray2rgb(gt)
+        pre_3ch = gray2rgb(pred)
+        flows = self._flow(jnp.concatenate([gt_3ch, pre_3ch], axis=0),
+                           streams=2)
+        gt_flow, pre_flow = jnp.split(flows, 2, axis=0)
+        gt, m_pre, metrics, viz, d_stats = self._eval_tail(
+            d_state, data, real, gt, pred, gt_3ch, pre_3ch, gt_flow,
+            pre_flow, train=True)
+        return gt, m_pre, metrics, viz, g_mut["batch_stats"], d_stats
 
     # ------------------------------------------------------------------
     def _do_train_step(self, sharded, step_key):
@@ -388,6 +414,24 @@ class MyGanEngine(EngineBase):
         for batch in self.test_iter:
             idx = batch.pop("index", None)
             sharded = shard_batch(self.mesh, batch)
+            if self.cfg.ref_mode_quirks:
+                # fidelity mode: G/D stay in train mode through the sweep
+                # (dropout on, BN batch-stat normalisation + running-stat
+                # mutation carried back into training) — the gt-flow cache
+                # is bypassed to keep the path reference-exact
+                self.key, qk = jax.random.split(self.key)
+                gt, m_pre, metrics, viz, g_stats, d_stats = \
+                    self._eval_step_quirk(self.g_state, self.d_state,
+                                          sharded, qk)
+                self.g_state = self.g_state.replace(batch_stats=g_stats)
+                self.d_state = self.d_state.replace(batch_stats=d_stats)
+                sweep.add(gt, m_pre, metrics)
+                d = {k: np.asarray(v) for k, v in viz.items()}
+                self.color_videos["test/input-real"] = np.concatenate(
+                    [d["input"], d["real"]], axis=2)
+                self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
+                    [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+                continue
             caching = self.cfg.cache_gt_flow and idx is not None
             if caching and all(int(i) in self._gt_flow_cache for i in idx):
                 # gt flows from earlier sweeps, stacked inside the jit (no

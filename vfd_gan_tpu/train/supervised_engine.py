@@ -81,7 +81,7 @@ class SupervisedEngine(EngineBase):
             print(f"\n Loaded pretrained weights from {cfg.resume}\n")
 
         self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0,))
+                                   donate_argnums=(0,), static_argnums=(3,))
         self._eval_step = jax.jit(self._eval_step_impl)
 
     def _state_shardings(self, tree):
@@ -91,22 +91,37 @@ class SupervisedEngine(EngineBase):
         return pp_state_shardings(self.mesh, tree)
 
     # -- jitted steps ------------------------------------------------------
-    def _train_step_impl(self, state: NetState, batch, key):
+    def _train_step_impl(self, state: NetState, batch, key,
+                         train_mode: bool = True):
         aug_key, drop_key = jax.random.split(key)
         data, real, gt = augment_clips(aug_key, batch["data"], batch["real"],
                                        batch["mask"], self.cfg.isize)
 
         def grads_fn(bstats, data_i, gt_i, key_i):
             def loss_fn(params):
+                # train_mode=False is the --ref_mode_quirks stuck-in-eval
+                # path: the reference's test() calls model.eval() and never
+                # switches back (lib/train_stcnn.py:143), so post-first-test
+                # training runs without dropout, normalising by FROZEN BN
+                # running stats (gradients still flow; stats never update).
                 if self.pipe is not None:
-                    pred, new_stats = self.pipe.apply_train(
-                        params, bstats, data_i, key_i)
-                else:
+                    if train_mode:
+                        pred, new_stats = self.pipe.apply_train(
+                            params, bstats, data_i, key_i)
+                    else:
+                        pred = self.pipe.apply_eval(params, bstats, data_i)
+                        new_stats = bstats
+                elif train_mode:
                     pred, mut = self.model.apply(
                         {"params": params, "batch_stats": bstats},
                         data_i, True, mutable=["batch_stats"],
                         rngs={"dropout": key_i})
                     new_stats = mut["batch_stats"]
+                else:
+                    pred = self.model.apply(
+                        {"params": params, "batch_stats": bstats},
+                        data_i, False)
+                    new_stats = bstats
                 return bce(pred, gt_i), (pred, new_stats)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -158,7 +173,8 @@ class SupervisedEngine(EngineBase):
     # -- loops -------------------------------------------------------------
     def _do_train_step(self, sharded, step_key):
         self.state, loss, viz = self._train_step(self.state, sharded,
-                                                 step_key)
+                                                 step_key,
+                                                 not self.stuck_in_eval)
         return {"loss/err/train": loss}, viz
 
     def _update_train_videos(self, viz) -> None:
