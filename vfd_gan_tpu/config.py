@@ -97,6 +97,17 @@ class Config:
     # statistics are per-microbatch, exactly like --accum.  Requires
     # batchsize % pp_micro == 0 and (batchsize/pp_micro) % dp == 0.
     pp_micro: int = 0
+    # Mixture-of-Experts extension (xception only; no reference
+    # equivalent): > 0 inserts a residual token-MoE block after the middle
+    # chain — every spatio-temporal trunk position routed top-1 through N
+    # expert MLPs (GShard dense dispatch, parallel/moe.py).
+    moe_experts: int = 0
+    # Expert-parallel shards: > 1 adds an `ep` mesh axis and shards the
+    # stacked expert parameters/Adam moments over it; GSPMD inserts the
+    # token all-to-alls.  Requires moe_experts % moe_shards == 0.
+    moe_shards: int = 1
+    # Weight of the Switch load-balancing auxiliary loss.
+    moe_aux_w: float = 0.01
     # Gradient accumulation: split each batch into `accum` sequential
     # microbatches inside the fused step (lax.scan), average the gradients,
     # and take ONE optimiser step.  BatchNorm batch statistics are computed
@@ -197,6 +208,15 @@ class Config:
         if self.pp_micro < 0 or (self.pp_micro and
                                  self.batchsize % self.pp_micro):
             raise ValueError("pp_micro must be >= 0 and divide batchsize")
+        if self.moe_experts < 0 or self.moe_shards < 1:
+            raise ValueError("moe_experts must be >= 0, moe_shards >= 1")
+        if self.moe_experts and self.model != "xception":
+            raise ValueError("--moe_experts supports the xception model only")
+        if self.moe_experts and self.pp > 1:
+            raise ValueError("--moe_experts does not compose with --pp")
+        if self.moe_shards > 1 and (not self.moe_experts or
+                                    self.moe_experts % self.moe_shards):
+            raise ValueError("moe_shards must divide moe_experts")
         if self.ref_mode_quirks and self.accum > 1:
             # the reference has no gradient accumulation; a fidelity run
             # must match its per-step semantics exactly

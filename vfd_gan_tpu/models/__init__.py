@@ -22,15 +22,19 @@ from vfd_gan_tpu.models.stcnn import AutoEncoder, C2Plus1dBlock
 from vfd_gan_tpu.models.xception3d import Xception3D
 
 
-def build_mask_model(name: str, cfg, dtype, axis_name=None):
+def build_mask_model(name: str, cfg, dtype, axis_name=None, mesh=None):
     """Supervised mask predictors selectable via ``--model``
-    (reference dispatch: lib/train_stcnn.py:52-66)."""
+    (reference dispatch: lib/train_stcnn.py:52-66).  ``mesh`` is only
+    consulted by the opt-in ``--moe_experts`` Xception variant (expert
+    dispatch over its ``ep`` axis)."""
     if name == "c2plus1d":
         return AutoEncoder(dtype=dtype, axis_name=axis_name)
     if name == "xception":
         return Xception3D(dtype=dtype, axis_name=axis_name,
                           in_channels=cfg.ich,
-                          width_mult=getattr(cfg, "xwidth", 1.0))
+                          width_mult=getattr(cfg, "xwidth", 1.0),
+                          moe_experts=getattr(cfg, "moe_experts", 0),
+                          mesh=mesh)
     if name == "clstm":
         return ConvLSTMModel(dtype=dtype, axis_name=axis_name)
     raise ValueError(f"unknown supervised model {name!r}")

@@ -135,6 +135,12 @@ class Xception3D(nn.Module):
     axis_name: Optional[str] = None
     in_channels: int = 3
     width_mult: float = 1.0
+    # --moe_experts extension (no reference equivalent): > 0 inserts a
+    # residual token-MoE block (models/moe_block.py) after the middle
+    # chain; ``mesh`` enables expert-parallel dispatch over its ep axis.
+    moe_experts: int = 0
+    moe_capacity: float = 2.0
+    mesh: Any = None
 
     def _w(self, c: int) -> int:
         return max(1, round(c * self.width_mult))
@@ -159,6 +165,12 @@ class Xception3D(nn.Module):
             setattr(self, f"middle{i + 1}",
                     blk(w(728), 3, 1, True, True, self.axis_name))
         self.exit = blk(w(1024), 2, 1, True, False, self.axis_name)
+
+        if self.moe_experts:
+            from vfd_gan_tpu.models.moe_block import MoEMlp
+            self.moe = MoEMlp(self.moe_experts,
+                              capacity_factor=self.moe_capacity,
+                              dtype=self.dtype, mesh=self.mesh)
 
         self.head1 = SepaConv(w(1536), dtype=self.dtype)
         self.head1_bn = VideoBatchNorm(dtype=self.dtype,
@@ -187,9 +199,12 @@ class Xception3D(nn.Module):
         return self.entry3(x, train)
 
     def middles(self, x, train: bool = False):
-        """The 8 signature-preserving middle blocks (the GPipe stage chain)."""
+        """The 8 signature-preserving middle blocks (the GPipe stage chain),
+        plus the opt-in residual token-MoE tail (``--moe_experts``)."""
         for i in range(N_MIDDLE_BLOCKS):
             x = getattr(self, f"middle{i + 1}")(x, train)
+        if self.moe_experts:
+            x = self.moe(x, train)
         return x
 
     def back(self, x, train: bool = False):

@@ -254,6 +254,9 @@ def _flow_level(p1, p2, flow, winsize: int, iterations: int):
         # cost (~2.3 ms/iter) is interaction-dominated, so only the full
         # step decides (cf. the morphology-move precedent, BENCH_NOTES.md).
         return _flow_level_pallas(p1, p2, flow, winsize, iterations)
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("VFD_FLOW_FUSED", "0") != "0"):
+        return _flow_level_fused(p1, p2, flow, winsize, iterations)
     return jax.lax.fori_loop(0, iterations, body, flow)
 
 
@@ -283,6 +286,24 @@ def _flow_level_pallas(p1, p2, flow, winsize: int, iterations: int,
         flowp = flow_refine_step_pallas(p1p, w2, flowp, winsize,
                                         interpret=interpret)
     return jnp.moveaxis(flowp, 1, -1)
+
+
+def _flow_level_fused(p1, p2, flow, winsize: int, iterations: int,
+                      *, interpret: bool = False):
+    """Single-kernel TPU path of ``_flow_level``: ALL ``iterations``
+    rounds of {v5-banded warp, box-blurred 2x2 solve} run inside ONE
+    Pallas kernel with every intermediate VMEM-resident
+    (ops/pallas/flow_fused.py) — no per-iteration dispatches, no HBM
+    round trips for the warped planes or the flow carry.  Same math and
+    the same |flow_y| band clamp as the two-kernel ``VFD_FLOW_REFINE``
+    composition (PARITY.md "TPU warp band clamp")."""
+    from vfd_gan_tpu.ops.pallas.flow_fused import flow_refine_fused_pallas
+
+    out = flow_refine_fused_pallas(
+        jnp.moveaxis(p1, -1, 1), jnp.moveaxis(p2, -1, 1),
+        jnp.moveaxis(flow, -1, 1), winsize, iterations,
+        interpret=interpret)
+    return jnp.moveaxis(out, 1, -1)
 
 
 def _gauss_blur(img, sigma: float):

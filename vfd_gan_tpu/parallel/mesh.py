@@ -31,7 +31,7 @@ def auto_dp(batchsize: int, requested: int = 0, n_devices: int | None = None) ->
 
 
 def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, pp: int = 1,
-              devices=None) -> Mesh:
+              devices=None, ep: int = 1) -> Mesh:
     """Device mesh: 1-D data-parallel, plus optional ``sp``/``tp``/``pp`` axes.
 
     The ``sp`` (sequence-parallel) axis shards the clip's frame dimension
@@ -51,12 +51,12 @@ def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, pp: int = 1,
     1-D/2-D behaviour is unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
-    model = sp * tp * pp
+    model = sp * tp * pp * ep
     if dp <= 0:
         dp = max(1, len(devices) // model)
     if dp * model > len(devices):
-        raise ValueError(f"requested dp*sp*tp*pp={dp}*{sp}*{tp}*{pp} but only "
-                         f"{len(devices)} devices")
+        raise ValueError(f"requested dp*sp*tp*ep*pp={dp}*{sp}*{tp}*{ep}*{pp} "
+                         f"but only {len(devices)} devices")
     names, sizes = ["dp"], [dp]
     if sp > 1:
         names.append("sp")
@@ -64,6 +64,10 @@ def make_mesh(dp: int = 0, sp: int = 1, tp: int = 1, pp: int = 1,
     if tp > 1:
         names.append("tp")
         sizes.append(tp)
+    if ep > 1:
+        # expert axis (`--moe_shards`): stacked expert params live split
+        names.append("ep")
+        sizes.append(ep)
     if pp > 1:
         names.append("pp")
         sizes.append(pp)
@@ -104,12 +108,23 @@ def param_spec(tp: int, shape) -> P:
 def state_shardings(mesh: Mesh, tree):
     """Shardings pytree for a network state (params + BN stats + Adam
     moments): channel-sharded over the mesh's ``tp`` axis when present,
-    replicated otherwise.  ``tree`` may hold concrete arrays or the
-    ``jax.eval_shape`` structs of an init function — anything with
-    ``.shape``."""
-    tp = dict(mesh.shape).get("tp", 1)
-    return jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, param_spec(tp, x.shape)), tree)
+    expert-stacked MoE leaves (path contains ``experts``, leading dim
+    divisible) over its ``ep`` axis, replicated otherwise.  ``tree`` may
+    hold concrete arrays or the ``jax.eval_shape`` structs of an init
+    function — anything with ``.shape``."""
+    shape_map = dict(mesh.shape)
+    tp = shape_map.get("tp", 1)
+    ep = shape_map.get("ep", 1)
+
+    def spec_for(path, x):
+        if (ep > 1 and len(x.shape) >= 1 and x.shape[0]
+                and x.shape[0] % ep == 0
+                and any("experts" in str(k) for k in path)):
+            return NamedSharding(
+                mesh, P(*(["ep"] + [None] * (len(x.shape) - 1))))
+        return NamedSharding(mesh, param_spec(tp, x.shape))
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
 def accum_regroup(mesh: Mesh, x, k: int):

@@ -60,8 +60,9 @@ class EngineBase:
         sp = getattr(cfg, "sp", 1)
         tp = getattr(cfg, "tp", 1)
         pp = getattr(cfg, "pp", 1)
+        ep = getattr(cfg, "moe_shards", 1)
         import jax
-        avail = max(1, len(jax.devices()) // (sp * tp * pp))
+        avail = max(1, len(jax.devices()) // (sp * tp * pp * ep))
         # dp must divide the per-step shard unit: the microbatch under
         # --accum (each scan microbatch stays data-parallel), else the batch
         # (under --pp, the GPipe microbatch).
@@ -69,7 +70,7 @@ class EngineBase:
                     cfg.n_pp_micro if pp > 1 else 1)
         self.mesh = make_mesh(
             auto_dp(cfg.batchsize // accum, cfg.dp, n_devices=avail),
-            sp, tp, pp)
+            sp, tp, pp, ep=ep)
         self.dirs = make_run_dirs(cfg.result_root, cfg.model,
                                   run_comment(cfg, gan=gan))
         self.summary = SummaryLogger(self.dirs.runs, enabled=cfg.tensorboard)

@@ -35,7 +35,9 @@ class SupervisedEngine(EngineBase):
     def __init__(self, cfg, train_iter, test_iter):
         super().__init__(cfg, train_iter, test_iter, gan=False)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.model = build_mask_model(cfg.model, cfg, dtype)
+        self.model = build_mask_model(
+            cfg.model, cfg, dtype,
+            mesh=self.mesh if cfg.moe_shards > 1 else None)
         self.tx = make_adam(cfg.lr, cfg.beta1)
 
         # --pp: GPipe over Xception's middle-block chain (parallel/pp_xception);
@@ -114,7 +116,8 @@ class SupervisedEngine(EngineBase):
                 elif train_mode:
                     pred, mut = self.model.apply(
                         {"params": params, "batch_stats": bstats},
-                        data_i, True, mutable=["batch_stats"],
+                        data_i, True,
+                        mutable=["batch_stats", "moe_aux"],
                         rngs={"dropout": key_i})
                     new_stats = mut["batch_stats"]
                 else:
@@ -122,7 +125,13 @@ class SupervisedEngine(EngineBase):
                         {"params": params, "batch_stats": bstats},
                         data_i, False)
                     new_stats = bstats
-                return bce(pred, gt_i), (pred, new_stats)
+                loss = bce(pred, gt_i)
+                if train_mode and self.cfg.moe_experts:
+                    # Switch load-balancing auxiliary (models/moe_block.py)
+                    loss = loss + self.cfg.moe_aux_w * sum(
+                        jnp.sum(v) for v in
+                        jax.tree_util.tree_leaves(mut.get("moe_aux", {})))
+                return loss, (pred, new_stats)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
