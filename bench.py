@@ -27,6 +27,8 @@ import numpy as np
 
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
+# A/B knob for the flow resolution line (ops/flow.py video_to_flow_rgb)
+FLOW_SCALE = float(os.environ.get("BENCH_FLOW_SCALE", 1.0))
 NFR = 16
 ISIZE = 128
 
@@ -46,6 +48,7 @@ def main() -> None:
     cfg = Config(model="mygan", isize=ISIZE, nfr=NFR, batchsize=BATCH,
                  ngf=32, ndf=32, ep=1, freq=10 ** 9,
                  compute_dtype="bfloat16", tensorboard=False,
+                 flow_scale=FLOW_SCALE,
                  result_root=tmp).validate()
     engine = MyGanEngine(cfg, train_iter=None, test_iter=None)
 
