@@ -26,7 +26,11 @@ import time
 import numpy as np
 
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
-BATCH = int(os.environ.get("BENCH_BATCH", 4))
+# b8 default since the round-6 interleaved sweep (44.7 vs b4's 42.6
+# clips/s/chip — flat HBM-bound scaling from b2 up, b8 the consistent
+# peak; BENCH_NOTES.md batch-scaling table).  BENCH_BATCH=4 restores the
+# reference's default workload shape.
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 # A/B knob for the flow resolution line (ops/flow.py video_to_flow_rgb)
 FLOW_SCALE = float(os.environ.get("BENCH_FLOW_SCALE", 1.0))
 NFR = 16

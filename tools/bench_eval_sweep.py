@@ -17,8 +17,11 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
@@ -31,7 +34,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vfd_gan_tpu.config import Config
-    from vfd_gan_tpu.ops.augment import staging_size
     from vfd_gan_tpu.train.gan_engine import MyGanEngine
     from vfd_gan_tpu.utils.runtime import enable_compilation_cache
 
@@ -42,7 +44,9 @@ def main() -> None:
                  compute_dtype="bfloat16", tensorboard=False,
                  result_root=tmp).validate()
     engine = MyGanEngine(cfg, train_iter=None, test_iter=None)
-    s = staging_size(ISIZE)
+    # test batches are staged at isize directly (no augmentation crop,
+    # lib/data.py:132-135) — unlike the train path's staging_size
+    s = ISIZE
 
     @jax.jit
     def make_batch(k):

@@ -249,13 +249,16 @@ def _flow_level(p1, p2, flow, winsize: int, iterations: int):
         return flow
     if (jax.default_backend() == "tpu"
             and os.environ.get("VFD_FLOW_REFINE", "0") != "0"):
-        # Opt-in pending the e2e A/B: the isolated micro-bench is an exact
-        # tie (tools/bench_flow_refine.py), but the profiled in-step while
-        # cost (~2.3 ms/iter) is interaction-dominated, so only the full
-        # step decides (cf. the morphology-move precedent, BENCH_NOTES.md).
+        # two-kernel composition (warp + solve per iteration) — superseded
+        # by the fused single-kernel path below (exact e2e tie when it
+        # landed; kept for A/B comparisons, BENCH_NOTES.md round 5/6).
         return _flow_level_pallas(p1, p2, flow, winsize, iterations)
     if (jax.default_backend() == "tpu"
-            and os.environ.get("VFD_FLOW_FUSED", "0") != "0"):
+            and os.environ.get("VFD_FLOW_FUSED", "1") != "0"):
+        # TPU production default since the round-6 e2e A/B (42.1 -> 42.8
+        # clips/s): ALL iterations' warp+solve in ONE kernel, every
+        # intermediate VMEM-resident.  VFD_FLOW_FUSED=0 restores the
+        # XLA fori_loop body (with the Pallas warp inside).
         return _flow_level_fused(p1, p2, flow, winsize, iterations)
     return jax.lax.fori_loop(0, iterations, body, flow)
 

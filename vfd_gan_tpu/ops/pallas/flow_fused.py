@@ -21,16 +21,19 @@ Formulation per iteration (identical math to the two-kernel path):
 
 * **warp** — the v5-banded one-hot-matmul scheme (ops/pallas/warp.py)
   restructured for an in-kernel flow carry: a ``fori_loop`` over 8-row
-  blocks concatenates eight ``(1, W)`` coordinate rows into the
-  ``(1, 8W)`` lane layout (lane-axis concat is Mosaic-legal where the
-  merging reshape is not), builds both closed-form ``relu(1 - |c - i|)``
-  weight arrays, and runs the 5 planes through ``(band, W) @ (W, 8W)``
-  MXU matmuls + a bf16 vertical mask-reduce.  The vertical candidate band
-  start is ``(8*jb - ceil(max_dy)) // 16 * 16`` — *statically derived
-  from the block index*, so banding is deterministic by construction
-  (coverage: ``band >= 7 + 2*max_dy + 2 + 15``); flow_y is clamped to
-  ``+-max_dy`` exactly like the production v5 wrapper (PARITY.md "TPU
-  warp band clamp").
+  blocks extracts each coordinate row as an offset-0 ``(1, W)`` vector
+  via a mask-reduce (Mosaic cannot relayout sublane-/lane-offset pieces
+  across concats, so the wrapper-side ``(1, 8W)`` pixel-major layout is
+  unavailable in-kernel), builds the closed-form ``relu(1 - |c - i|)``
+  weight arrays per row, and runs the 5 planes through
+  ``(band, W) @ (W, W)`` MXU matmuls + a bf16 vertical mask-reduce —
+  identical MAC count to the wrapper's ``(band, W) @ (W, 8W)`` form,
+  just narrower matmuls.  The vertical candidate band start is
+  ``(8*jb - ceil(max_dy)) // 16 * 16`` — *derived from the block
+  index*, so banding is deterministic by construction (coverage:
+  ``band >= 7 + 2*max_dy + 2 + 15``); flow_y is clamped to ``+-max_dy``
+  exactly like the production v5 wrapper (PARITY.md "TPU warp band
+  clamp").
 * **solve** — the whole-plane algebra + bf16-operand/f32-accumulate
   box-blur matmuls + 2x2 solve of ops/pallas/flow_refine.py, reading the
   VMEM scratch and writing the flow carry in place.
@@ -70,13 +73,13 @@ def _fused_kernel(p1_ref, p2_ref, flow_ref, mwt_ref, mh_ref, out_ref,
     mwt/mh the (W, W)/(H, H) bf16 box-blur matrices, w2_ref a
     (5, H, W) f32 VMEM scratch for the warped planes."""
     rb = _ROWS_PER_BLOCK
-    m = rb * w
     out_ref[0, 0] = flow_ref[0, 0]
     out_ref[0, 1] = flow_ref[0, 1]
 
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
-    si = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0).astype(jnp.float32)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    si = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0).astype(jnp.float32)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (rb, w), 0)
     dy_int = 0 if max_dy is None else int(math.ceil(max_dy))
 
     b1x, b1y = p1_ref[0, 0], p1_ref[0, 1]
@@ -94,8 +97,8 @@ def _fused_kernel(p1_ref, p2_ref, flow_ref, mwt_ref, mh_ref, out_ref,
         # ---- warp p2 by the current flow carry into the VMEM scratch ----
         def block_body(jb, _):
             r0 = pl.multiple_of(jb * rb, rb)
-            fx = out_ref[0, 0, pl.ds(r0, rb), :]            # (rb, W)
-            fy = out_ref[0, 1, pl.ds(r0, rb), :]
+            fxb = out_ref[0, 0, pl.ds(r0, rb), :]           # (rb, W)
+            fyb = out_ref[0, 1, pl.ds(r0, rb), :]
             r0f = r0.astype(jnp.float32)
             if max_dy is None:
                 start = 0
@@ -105,36 +108,41 @@ def _fused_kernel(p1_ref, p2_ref, flow_ref, mwt_ref, mh_ref, out_ref,
             sf = jnp.float32(0.0) if max_dy is None \
                 else start.astype(jnp.float32)
 
-            # eight (1, W) coordinate rows -> one (1, 8W) lane row
-            # (lane-axis concatenation; the merging reshape is not legal)
-            xs_rows, ys_rows = [], []
+            p2b = [p2_ref[0, ci, pl.ds(start, band), :]
+                   if max_dy is not None else p2_ref[0, ci]
+                   for ci in range(5)]                      # (band, W) bf16
+
+            def pick(v, i):
+                # row i of a (rb, W) value as an offset-0 (1, W) vector —
+                # mask-reduce instead of a sublane slice (Mosaic cannot
+                # relayout sublane-offset pieces across a concat)
+                return jnp.sum(jnp.where(rows8 == i, v, 0.0), axis=0,
+                               keepdims=True, dtype=jnp.float32)
+
+            res_rows = [[] for _ in range(5)]
             for i in range(rb):
                 rf = r0f + jnp.float32(i)
-                xsr = jnp.clip(col + fx[i:i + 1, :], 0.0, w - 1.0)
-                ysr = jnp.clip(rf + fy[i:i + 1, :], 0.0, h - 1.0)
+                xs = jnp.clip(col + pick(fxb, i), 0.0, w - 1.0)    # (1, W)
+                ys = jnp.clip(rf + pick(fyb, i), 0.0, h - 1.0)
                 if max_dy is not None:
-                    ysr = jnp.clip(ysr, rf - max_dy, rf + max_dy)
-                xs_rows.append(xsr)
-                ys_rows.append(jnp.clip(ysr - sf, 0.0, band - 1.0))
-            xs = jnp.concatenate(xs_rows, axis=1)           # (1, 8W)
-            ysb = jnp.concatenate(ys_rows, axis=1)
-
-            # closed-form two-hot weights (ops/pallas/warp.py v3/v5); si
-            # runs over source columns 0..W-1 on the sublane axis
-            wxt = jnp.maximum(1.0 - jnp.abs(xs - si), 0.0).astype(WARP_DTYPE)
-            vw = jnp.maximum(1.0 - jnp.abs(ysb - ri), 0.0).astype(WARP_DTYPE)
-
+                    ys = jnp.clip(ys, rf - max_dy, rf + max_dy)
+                ysb = jnp.clip(ys - sf, 0.0, band - 1.0)
+                # closed-form two-hot weights (ops/pallas/warp.py v3/v5)
+                wxt = jnp.maximum(1.0 - jnp.abs(xs - si),
+                                  0.0).astype(WARP_DTYPE)  # (W, W)
+                vw = jnp.maximum(1.0 - jnp.abs(ysb - ri),
+                                 0.0).astype(WARP_DTYPE)   # (band, W)
+                for ci in range(5):
+                    t = jnp.dot(p2b[ci], wxt,
+                                preferred_element_type=jnp.float32)
+                    res_rows[ci].append(jnp.sum(
+                        t.astype(WARP_DTYPE) * vw, axis=0, keepdims=True,
+                        dtype=jnp.float32))                 # (1, W)
             for ci in range(5):
-                t = jnp.dot(p2_ref[0, ci, pl.ds(start, band), :]
-                            if max_dy is not None else p2_ref[0, ci],
-                            wxt, preferred_element_type=jnp.float32)
-                res = jnp.sum(t.astype(WARP_DTYPE) * vw, axis=0,
-                              keepdims=True,
-                              dtype=jnp.float32)            # (1, 8W) f32
-                # (1, 8W) -> (8, W) by sublane-axis concat of lane chunks,
-                # then ONE aligned block store (no unaligned row stores)
+                # offset-0 rows concatenated on the sublane axis -> one
+                # aligned (rb, W) block store
                 w2_ref[ci, pl.ds(r0, rb), :] = jnp.concatenate(
-                    [res[:, i * w:(i + 1) * w] for i in range(rb)], axis=0)
+                    res_rows[ci], axis=0)
             return 0
 
         jax.lax.fori_loop(0, h // rb, block_body, 0)
