@@ -31,8 +31,10 @@ STEPS = int(os.environ.get("BENCH_STEPS", 10))
 # peak; BENCH_NOTES.md batch-scaling table).  BENCH_BATCH=4 restores the
 # reference's default workload shape.
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
-# A/B knob for the flow resolution line (ops/flow.py video_to_flow_rgb)
-FLOW_SCALE = float(os.environ.get("BENCH_FLOW_SCALE", 1.0))
+# A/B knob for the flow resolution line (ops/flow.py video_to_flow_rgb);
+# default follows Config.flow_scale = 0.5 (score-invariant, PARITY.md —
+# BENCH_FLOW_SCALE=1.0 measures the reference-telemetry configuration)
+FLOW_SCALE = float(os.environ.get("BENCH_FLOW_SCALE", 0.5))
 NFR = 16
 ISIZE = 128
 

@@ -146,10 +146,15 @@ class Config:
     # Stop after N optimiser steps regardless of epochs (0 = unlimited).
     # Pairs with autosave/resume for preemption-safe scheduled training.
     max_steps: int = 0
-    # Optical-flow resolution scale for the GAN step (1.0 = full fidelity;
-    # e.g. 0.5 computes flow at half resolution and upsamples the encoded
-    # RGB — see ops/flow.py).
-    flow_scale: float = 1.0
+    # Optical-flow resolution scale for the GAN step: flow is computed at
+    # scale*isize and the HSV-encoded RGB upsampled back (ops/flow.py).
+    # Default 0.5 (+4.8% step throughput): provably SCORE-INVARIANT — the
+    # reference's adversarial term is detached from G
+    # (models/mygannet.py:279-312), so flow touches only D's training
+    # trajectory and loss telemetry, never G's updates or the scored
+    # masks (tests/test_flow_scale_invariance.py pins G bit-equality).
+    # Set 1.0 for reference-fidelity D telemetry (PARITY.md).
+    flow_scale: float = 0.5
     # Rematerialise generator conv blocks in backward (memory for FLOPs;
     # enables long-clip / large-batch configurations).
     remat: bool = False
