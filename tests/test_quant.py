@@ -202,3 +202,59 @@ def test_xception_int8_forward_tracks_float():
     # families: slightly coarser max bound, same mean bound
     assert np.max(np.abs(got - want)) < 0.2, np.max(np.abs(got - want))
     assert np.mean(np.abs(got - want)) < 0.02, np.mean(np.abs(got - want))
+
+
+def _randomized_convlstm():
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+
+    model = ConvLSTMModel(dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 6, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(4), x, False)
+
+    def perturb(path, leaf):
+        names = [getattr(p, "key", "") for p in path]
+        if "BatchNorm_0" not in names:
+            return leaf
+        if names[-1] == "var":
+            return jnp.asarray(rng.uniform(0.2, 3.0, leaf.shape), jnp.float32)
+        return jnp.asarray(rng.normal(0.3, 0.5, leaf.shape), jnp.float32)
+
+    return model, jax.tree_util.tree_map_with_path(perturb, variables), x
+
+
+def test_clstm_float_mirror_matches_model():
+    from vfd_gan_tpu.quant.qclstm import convlstm_forward_float
+
+    model, variables, x = _randomized_convlstm()
+    want = model.apply(variables, x, False)
+    got = convlstm_forward_float(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_clstm_int8_forward_tracks_float():
+    from vfd_gan_tpu.quant.qclstm import (
+        convlstm_forward_float,
+        convlstm_forward_int8,
+        quantize_convlstm,
+    )
+
+    model, variables, x = _randomized_convlstm()
+    calib = [jnp.asarray(rng.uniform(-1, 1, x.shape), jnp.float32)] + [x]
+    qpack = quantize_convlstm(variables, calib)
+    want = np.asarray(convlstm_forward_float(variables, x))
+    got = np.asarray(convlstm_forward_int8(qpack, x))
+    # the recurrence compounds quantisation noise across T=6 steps, but
+    # saturating gates keep it bounded well below any decision threshold
+    assert np.max(np.abs(got - want)) < 0.12, np.max(np.abs(got - want))
+    assert np.mean(np.abs(got - want)) < 0.02, np.mean(np.abs(got - want))
+
+
+def test_clstm_int8_through_build_serving():
+    from vfd_gan_tpu.quant.qmygan import build_int8_serving
+
+    model, variables, x = _randomized_convlstm()
+    pack, apply_fn = build_int8_serving(model, variables, isize=16, nfr=6,
+                                        calib_clips=2)
+    out = np.asarray(apply_fn(pack, x))
+    assert out.shape == (1, 6, 16, 16, 1)
+    assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1

@@ -68,7 +68,8 @@ def build_parser():
     p.add_argument("--quant", choices=("none", "int8"), default="none",
                    help="int8: BN-fold + post-training-quantise the conv "
                         "stack (quant/; v5e int8 peak is 2x bf16). mygan "
-                        "generator and c2plus1d checkpoints.")
+                        "generator, c2plus1d, xception and clstm "
+                        "checkpoints.")
     p.add_argument("--calib_plist", default="",
                    help="path-list file of videos for int8 activation "
                         "calibration (one clip each); default synthetic")

@@ -205,14 +205,16 @@ def build_int8_serving(model, variables, *, isize: int, nfr: int,
     default to uniform [-1, 1] noise — inputs are [-1, 1]-normalised video
     either way, so noise gives a usable (if loose) per-site range envelope.
     """
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
     from vfd_gan_tpu.models.mygan import Generator
     from vfd_gan_tpu.models.stcnn import AutoEncoder
     from vfd_gan_tpu.models.xception3d import Xception3D
 
-    if not isinstance(model, (Generator, AutoEncoder, Xception3D)):
+    if not isinstance(model, (Generator, AutoEncoder, Xception3D,
+                              ConvLSTMModel)):
         raise SystemExit(
-            "--quant int8 supports mygan-generator, c2plus1d (AutoEncoder) "
-            f"and xception checkpoints (got {type(model).__name__})")
+            "--quant int8 supports mygan-generator, c2plus1d (AutoEncoder), "
+            f"xception and clstm checkpoints (got {type(model).__name__})")
     if calib_plist:
         import numpy as np
 
@@ -240,6 +242,13 @@ def build_int8_serving(model, variables, *, isize: int, nfr: int,
         )
         return (quantize_xception(variables, batches),
                 lambda v, x: xception_forward_int8(v, x))
+    if isinstance(model, ConvLSTMModel):
+        from vfd_gan_tpu.quant.qclstm import (
+            convlstm_forward_int8,
+            quantize_convlstm,
+        )
+        return (quantize_convlstm(variables, batches),
+                lambda v, x: convlstm_forward_int8(v, x))
     pack = quantize_generator(variables, batches)
     return pack, lambda v, x: generator_forward_int8(v, x)
 
