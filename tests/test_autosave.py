@@ -64,3 +64,26 @@ def test_sigterm_saves_latest_and_exits_cleanly(tmp_path):
     eng2.close()
     # default signal disposition restored after train()
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_async_autosave_writes_latest_and_resumes(tmp_path):
+    """--autosave_async: the rolling `latest` is written by a background
+    thread (single-flight), joined at loop exit, and restores exactly like
+    the synchronous path."""
+    root = str(tmp_path / "vids")
+    train_list, test_list = make_dataset(root, n_train=1, n_test=1,
+                                         frames=16, size=32)
+    cfg = Config(model="clstm", isize=16, nfr=8, batchsize=1, ep=1,
+                 freq=10 ** 6, autosave_every=2, autosave_async=True,
+                 result_root=str(tmp_path), tensorboard=False,
+                 compute_dtype="float32",
+                 tr_plist=train_list, ts_plist=test_list).validate()
+    eng = SupervisedEngine(cfg, *build_iterators(cfg))
+    eng.train()                      # _wait_autosave joins the last write
+    latest = os.path.join(eng.dirs.weights, "latest")
+    assert os.path.isdir(latest)
+    cfg2 = Config(**{**cfg.__dict__, "resume": latest})
+    eng2 = SupervisedEngine(cfg2, *build_iterators(cfg2))
+    assert eng2.global_step == eng.global_step - eng.global_step % 2
+    eng.close()
+    eng2.close()

@@ -143,6 +143,11 @@ class Config:
     # steps (0 = off).  The reference loses the epoch on a crash
     # (SURVEY.md §5 failure detection).
     autosave_every: int = 0
+    # Overlap the autosave's Orbax serialisation/write with training (the
+    # state fetch stays synchronous — the fused steps donate their input
+    # buffers).  Single-flight: a save that would overlap the previous
+    # write is skipped for that cadence (train/checkpoints.AsyncSaver).
+    autosave_async: bool = False
     # Stop after N optimiser steps regardless of epochs (0 = unlimited).
     # Pairs with autosave/resume for preemption-safe scheduled training.
     max_steps: int = 0

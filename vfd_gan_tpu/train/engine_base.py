@@ -135,10 +135,15 @@ class EngineBase:
 
                 if cfg.autosave_every and \
                         self.global_step % cfg.autosave_every == 0:
-                    save_checkpoint(self.weight_path("latest"),
-                                    self._ckpt_tree())
+                    if getattr(cfg, "autosave_async", False):
+                        self._async_saver().save(self.weight_path("latest"),
+                                                 self._ckpt_tree())
+                    else:
+                        save_checkpoint(self.weight_path("latest"),
+                                        self._ckpt_tree())
 
                 if cfg.max_steps and self.global_step >= cfg.max_steps:
+                    self._wait_autosave()
                     print(f" >> Training model {cfg.model}."
                           f"[Stopped at max_steps={cfg.max_steps}]")
                     return
@@ -149,6 +154,7 @@ class EngineBase:
                     # preemption-safe training (SURVEY.md §5 failure
                     # recovery; the reference loses everything since its
                     # last best-metric save).
+                    self._wait_autosave()
                     save_checkpoint(self.weight_path("latest"),
                                     self._ckpt_tree())
                     print(f" >> Training model {cfg.model}."
@@ -157,6 +163,7 @@ class EngineBase:
                           f"with --resume]")
                     return
             self.batch_in_epoch = 0
+        self._wait_autosave()
         print(f" >> Training model {cfg.model}.[Done]")
 
     def _graceful_shutdown(self):
@@ -292,7 +299,20 @@ class EngineBase:
         with open(os.path.join(self.dirs.root, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def _async_saver(self):
+        if not hasattr(self, "_autosaver"):
+            from vfd_gan_tpu.train.checkpoints import AsyncSaver
+            self._autosaver = AsyncSaver()
+        return self._autosaver
+
+    def _wait_autosave(self) -> None:
+        """Join any in-flight --autosave_async write (before final saves,
+        restores of the same path, or process exit)."""
+        if hasattr(self, "_autosaver"):
+            self._autosaver.wait()
+
     def close(self) -> None:
+        self._wait_autosave()
         self.summary.close()
 
     # -- summary-only morphology -------------------------------------------
