@@ -125,7 +125,9 @@ def test_two_process_engine_step_matches_single(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # generous: engine init + train-step compile on a 1-core host
+            # that may be running the rest of the suite concurrently
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
     finally:
         for p in procs:

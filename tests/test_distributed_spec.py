@@ -114,7 +114,9 @@ def test_two_process_jax_distributed_cpu_smoke(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # generous: cluster formation + a jit compile on a 1-core host
+            # that may be running the rest of the suite concurrently
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
