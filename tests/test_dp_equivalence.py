@@ -62,8 +62,13 @@ def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory):
 
     results = {}
     for dp in (1, 4):
+        # flow_scale pinned to 1.0: the tolerance rationale below was
+        # calibrated on full-res flow — the 0.5 production default's
+        # smoother upsampled flow shrinks the temporal-D input variance
+        # and pushes its BN reassociation noise just past rtol
         cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
                      freq=10 ** 6, dp=dp, lr=1e-4, ngf=4, ndf=4,
+                     flow_scale=1.0,
                      result_root=str(tmp_path), tensorboard=False,
                      compute_dtype="float32", seed=7,
                      tr_plist=train_list, ts_plist=test_list).validate()
@@ -114,8 +119,10 @@ def test_gan_dp2_sp2_matches_dp1(tmp_path, tmp_path_factory):
 
     results = {}
     for dp, sp in ((1, 1), (2, 2)):
+        # flow_scale=1.0: see test_gan_dp4_matches_dp1
         cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
                      freq=10 ** 6, dp=dp, sp=sp, lr=1e-4, ngf=4, ndf=4,
+                     flow_scale=1.0,
                      result_root=str(tmp_path), tensorboard=False,
                      compute_dtype="float32", seed=7,
                      tr_plist=train_list, ts_plist=test_list).validate()
@@ -170,8 +177,10 @@ def test_gan_dp2_tp2_matches_dp1(tmp_path, tmp_path_factory):
 
     results = {}
     for dp, tp in ((1, 1), (2, 2)):
+        # flow_scale=1.0: see test_gan_dp4_matches_dp1
         cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
                      freq=10 ** 6, dp=dp, tp=tp, lr=1e-4, ngf=4, ndf=4,
+                     flow_scale=1.0,
                      result_root=str(tmp_path), tensorboard=False,
                      compute_dtype="float32", seed=7,
                      tr_plist=train_list, ts_plist=test_list).validate()
