@@ -51,7 +51,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--ngf", type=int, default=32)
     ap.add_argument("--family", default="mygan",
-                    choices=("mygan", "c2plus1d", "xception"))
+                    choices=("mygan", "c2plus1d", "xception", "clstm"))
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -74,7 +74,7 @@ def main():
         bf16 = AutoEncoder(dtype=jnp.bfloat16)
         quantize, fwd_i8, fold = (quantize_autoencoder,
                                   autoencoder_forward_int8, None)
-    else:
+    elif args.family == "xception":
         from vfd_gan_tpu.models.xception3d import Xception3D
         from vfd_gan_tpu.quant.qxception import (
             quantize_xception,
@@ -84,6 +84,16 @@ def main():
         bf16 = Xception3D(dtype=jnp.bfloat16)
         quantize, fwd_i8, fold = (quantize_xception,
                                   xception_forward_int8, None)
+    else:
+        from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+        from vfd_gan_tpu.quant.qclstm import (
+            convlstm_forward_int8,
+            quantize_convlstm,
+        )
+        f32 = ConvLSTMModel(dtype=jnp.float32)
+        bf16 = ConvLSTMModel(dtype=jnp.bfloat16)
+        quantize, fwd_i8, fold = (quantize_convlstm,
+                                  convlstm_forward_int8, None)
 
     variables = jax.jit(lambda k: f32.init(k, x, False))(jax.random.key(0))
     pack = quantize(variables, calib)
