@@ -318,3 +318,38 @@ def test_dp_serving_rejects_indivisible_batch():
     with pytest.raises(SystemExit):
         InferenceServer(model, variables, "tiny", isize=S, nfr=T,
                         max_batch=3, max_wait_ms=5.0, dp=2)
+
+
+def test_serve_bfloat16_dtype(tmp_path):
+    """--dtype bfloat16 rebuilds the model with bf16 body compute (params
+    stay f32 in the checkpoint): health reports [bf16], predictions track
+    the f32 forward within bf16 rounding."""
+    import jax.numpy as jnp
+
+    from vfd_gan_tpu.cli.serve import build_parser, serve
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+    from vfd_gan_tpu.train.checkpoints import save_checkpoint
+
+    t, s = 6, 16
+    model = ConvLSTMModel(dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, t, s, s, 3)),
+                           False)
+    ckpt = str(tmp_path / "weights")
+    save_checkpoint(ckpt, {"state": {"params": variables["params"],
+                                     "batch_stats": variables["batch_stats"]}})
+    clip = np.random.default_rng(1).uniform(
+        -1, 1, (1, t, s, s, 3)).astype(np.float32)
+    want = np.asarray(model.apply(variables, clip, False))
+
+    args = build_parser().parse_args(
+        ["--ckpt", ckpt, "--isize", str(s), "--nfr", str(t), "--port", "0",
+         "--dtype", "bfloat16", "--max_batch", "2"])
+    httpd = serve(args)
+    try:
+        assert "[bf16]" in httpd.inference.name
+        got = np.asarray(httpd.inference.predict(clip))
+        assert got.shape == (1, t, s, s, 1)
+        np.testing.assert_allclose(got, want, atol=3e-2)
+    finally:
+        httpd.inference.close()
+        httpd.server_close()

@@ -50,6 +50,11 @@ def build_parser():
     p.add_argument("--calib_plist", default="",
                    help="videos for int8 activation calibration")
     p.add_argument("--calib_clips", type=int, default=8)
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="compute dtype (params stay float32; ignored with "
+                        "--quant int8) — bfloat16 is the measured-fastest "
+                        "float dtype on v5e (BENCH_NOTES.md)")
     return p
 
 
@@ -89,6 +94,9 @@ def main(argv=None) -> None:
         name += " [int8]"
         apply_fn = jax.jit(fwd)
     else:
+        if args.dtype == "bfloat16":
+            model = model.clone(dtype=jnp.bfloat16)
+            name += " [bf16]"
         apply_fn = jax.jit(lambda v, x: model.apply(v, x, False))
     print(f"model: {name}")
     post_fn = jax.jit(

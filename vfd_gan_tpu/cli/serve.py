@@ -65,6 +65,12 @@ def build_parser():
                    help="data-parallel serving over a 1-D device mesh "
                         "(params replicated, batch sharded); max_batch "
                         "must divide by it")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="serving compute dtype (params stay float32). "
+                        "bfloat16 is the measured-fastest float serving "
+                        "dtype on v5e for every family (BENCH_NOTES.md); "
+                        "ignored with --quant int8")
     p.add_argument("--quant", choices=("none", "int8"), default="none",
                    help="int8: BN-fold + post-training-quantise the conv "
                         "stack (quant/; v5e int8 peak is 2x bf16). mygan "
@@ -490,6 +496,12 @@ def serve(args) -> ThreadingHTTPServer:
     if getattr(args, "quant", "none") == "int8":
         variables, apply_fn = _quantize_int8(model, variables, args)
         name += " [int8]"
+    elif getattr(args, "dtype", "float32") == "bfloat16":
+        # rebuild the module with bf16 body compute; the checkpoint's f32
+        # params are cast inside each layer (flax dtype convention)
+        import jax.numpy as jnp
+        model = model.clone(dtype=jnp.bfloat16)
+        name += " [bf16]"
     inf = InferenceServer(model, variables, name, isize=args.isize,
                           nfr=args.nfr, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms,
