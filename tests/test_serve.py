@@ -262,6 +262,49 @@ def test_http_predict_video(tmp_path):
     write_video(vid, frames)
 
     srv = _make_server()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(srv, video_root=str(tmp_path)))
+    httpd.inference = srv
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(payload):
+        return urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict_video",
+            data=json.dumps(payload).encode(), method="POST")
+
+    try:
+        # both relative-to-root and absolute-inside-root forms work
+        for p in ("clip.mp4", vid):
+            with urllib.request.urlopen(post({"video_path": p})) as r:
+                out = json.loads(r.read())
+            assert out["clip_count"] == 2      # 2T+1 frames -> 2 windows
+            assert len(out["frame_scores"]) == 2 * T
+
+        try:
+            urllib.request.urlopen(post({"video_path": vid + ".nope"}))
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # confinement (VERDICT r3 item 5): traversal out of --video_root is
+        # rejected before any filesystem access, for ../ and absolute forms
+        for evil in ("../../../etc/passwd", "/etc/passwd",
+                     "a/../../outside.mp4"):
+            try:
+                urllib.request.urlopen(post({"video_path": evil}))
+                assert False, f"expected 403 for {evil!r}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 403
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_predict_video_disabled_without_root(tmp_path):
+    from http.server import ThreadingHTTPServer
+
+    srv = _make_server()
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
     httpd.inference = srv
     port = httpd.server_address[1]
@@ -269,21 +312,53 @@ def test_http_predict_video(tmp_path):
     try:
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/predict_video",
-            data=json.dumps({"video_path": vid}).encode(), method="POST")
-        with urllib.request.urlopen(req) as r:
-            out = json.loads(r.read())
-        assert out["clip_count"] == 2          # 2T+1 frames -> 2 windows
-        assert len(out["frame_scores"]) == 2 * T
-
-        bad = urllib.request.Request(
-            f"http://127.0.0.1:{port}/predict_video",
-            data=json.dumps({"video_path": vid + ".nope"}).encode(),
-            method="POST")
+            data=json.dumps({"video_path": "x.mp4"}).encode(), method="POST")
         try:
-            urllib.request.urlopen(bad)
-            assert False, "expected 404"
+            urllib.request.urlopen(req)
+            assert False, "expected 403 (endpoint disabled)"
         except urllib.error.HTTPError as e:
-            assert e.code == 404
+            assert e.code == 403
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_auth_token_gates_everything_but_healthz():
+    from http.server import ThreadingHTTPServer
+
+    srv = _make_server()
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(srv, auth_token="s3cret"))
+    httpd.inference = srv
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:   # always open
+            assert json.loads(r.read())["ok"]
+
+        try:
+            urllib.request.urlopen(f"{base}/stats")
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+
+        clips = np.zeros((1, T, S, S, 3), np.float32)
+        req = urllib.request.Request(
+            f"{base}/predict", data=clips.tobytes(), method="POST",
+            headers={"X-Clip-Count": "1"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+
+        ok = urllib.request.Request(
+            f"{base}/predict", data=clips.tobytes(), method="POST",
+            headers={"X-Clip-Count": "1",
+                     "Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(ok) as r:
+            assert "frame_scores" in json.loads(r.read())
     finally:
         httpd.shutdown()
         srv.close()
