@@ -75,7 +75,7 @@ def _build_engine(cfg):
 
         def step(carry, batch, key):
             g, d = carry
-            g, d, metrics, _ = eng._train_step(g, d, batch, key, True)
+            g, d, metrics, _ = eng._train_step(g, d, batch, key)
             return (g, d), metrics["d/err_d/train"]
         return eng, (eng.g_state, eng.d_state), step
     # supervised family: c2plus1d / xception / clstm
@@ -190,8 +190,8 @@ def _step_cost_analysis(engine, cfg, carry, sharded, key):
     """XLA cost_analysis() of the compiled train step for the current leg."""
     if cfg.model in ("mygan", "anogan", "ganomaly"):
         g, d = carry
-        args = (g, d, sharded, key) if cfg.model == "mygan" else \
-            (g, d, sharded, key, True)
+        args = ((g, d, sharded, key, True) if cfg.model == "anogan"
+                else (g, d, sharded, key))
     else:
         args = (carry[0], sharded, key, True)
     cost = engine._train_step.lower(*args).compile().cost_analysis()

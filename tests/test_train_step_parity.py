@@ -82,9 +82,14 @@ def test_one_supervised_step_matches_torch(ref_modules):  # noqa: F811
     want = convlstm_from_torch(sd_after)
     got_params = jax.device_get(state.params)
     for i in (1, 2, 3):
+        # atol 2e-5 (not 1e-5): the hoisted input->gates conv reassociates
+        # the gate tap-sum (conv(concat) -> conv(x)+conv(h), convlstm.py
+        # ConvLSTMLayer) and Adam's grad normalisation amplifies the ~1e-7
+        # forward noise on near-zero-moment elements; observed max 1.3e-5
+        # on 1/12096 elements (PARITY.md "ConvLSTM gate-conv split").
         np.testing.assert_allclose(
             got_params[f"clstm{i}"]["gate_kernel"],
-            want["params"][f"clstm{i}"]["gate_kernel"], atol=1e-5)
+            want["params"][f"clstm{i}"]["gate_kernel"], atol=2e-5)
         np.testing.assert_allclose(
             got_params[f"bn{i}"]["BatchNorm_0"]["scale"],
             want["params"][f"bn{i}"]["BatchNorm_0"]["scale"], atol=1e-5)

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Run the full test suite and commit the evidence (VERDICT r3 item 6).
+
+Round 2 shipped a red suite without noticing; round 3's "245 green" was
+asserted but not recorded. This tool runs pytest with a junitxml report,
+then writes ``SUITE_RUN.json`` at the repo root: git sha, pass/fail/skip
+counts, duration, and the ids of any failures — so the end-of-round
+snapshot carries verifiable proof of suite state without a 1-2 h re-run.
+
+Usage:  python tools/run_suite.py [pytest args...]
+(extra args are appended; default target is ``tests/``)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+import xml.etree.ElementTree as ET
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv: list[str]) -> int:
+    xml_path = os.path.join(tempfile.mkdtemp(prefix="suite_"), "junit.xml")
+    # default target tests/ only when the caller gives no path of its own
+    paths = [] if any(not a.startswith("-") for a in argv) else ["tests/"]
+    cmd = [sys.executable, "-m", "pytest", *paths, "-q",
+           f"--junitxml={xml_path}"] + argv
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO)
+    duration = time.time() - t0
+
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    dirty = bool(subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                                capture_output=True, text=True).stdout.strip())
+
+    record = {
+        "sha": sha, "dirty": dirty,
+        "returncode": proc.returncode,
+        "duration_sec": round(duration, 1),
+        "when": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+        "cmd": " ".join(cmd[2:]),
+    }
+    try:
+        suite = ET.parse(xml_path).getroot()
+        if suite.tag == "testsuites":
+            suite = suite[0]
+        n = int(suite.get("tests", 0))
+        errors = int(suite.get("errors", 0))
+        failures = int(suite.get("failures", 0))
+        skipped = int(suite.get("skipped", 0))
+        record.update({
+            "tests": n, "passed": n - errors - failures - skipped,
+            "failures": failures, "errors": errors, "skipped": skipped,
+            "failed_ids": sorted(
+                f"{c.get('classname')}::{c.get('name')}"
+                for c in suite.iter("testcase")
+                if c.find("failure") is not None
+                or c.find("error") is not None),
+        })
+    except (OSError, ET.ParseError) as e:
+        record["parse_error"] = str(e)
+
+    out = os.path.join(REPO, "SUITE_RUN.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(f"\nSUITE_RUN.json: {json.dumps(record)[:300]}")
+    return proc.returncode
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

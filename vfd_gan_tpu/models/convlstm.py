@@ -52,15 +52,34 @@ class ConvLSTMLayer(nn.Module):
         bias = (self.param("gate_bias", torch_default_init(fan_in),
                            (4 * self.hidden,)) if self.use_bias else None)
         kernel = kernel.astype(self.dtype)
+        pad = [(k // 2, k // 2)] * 2
 
-        def cell(carry, xt):
+        # conv(concat(x, h), K) == conv(x, Kx) + conv(h, Kh): split the gate
+        # kernel along its input-channel axis and hoist the input half OUT of
+        # the recurrence as ONE (B*T)-batched conv.  The reference recomputes
+        # the full concat conv every timestep inside its Python loop
+        # (convlstm.py:42-58,131-141); on TPU that serialises most of the
+        # FLOPs behind the scan.  Hoisting makes the input half parallel
+        # (large batch, MXU-tileable) and leaves only the genuinely
+        # sequential hidden->gates conv in the scan body.  Together with the
+        # unrolled scan below this measured 80.5 -> 130.5 clips/s/chip
+        # (b4-best -> b8-best, 128x16 bench; the hoist also shrinks scan
+        # residuals enough that b8 stops OOMing HBM).  The parameter layout
+        # is unchanged (checkpoint/torch-import compatible); the split only
+        # reassociates the tap-sum accumulation (PARITY.md).
+        kx, kh = kernel[:, :, :cin], kernel[:, :, cin:]
+        xg = lax.conv_general_dilated(
+            x.astype(self.dtype).reshape(b * t, h, w, cin), kx, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            xg = xg + bias.astype(xg.dtype)
+        xgs = jnp.moveaxis(xg.reshape(b, t, h, w, 4 * self.hidden), 1, 0)
+
+        def cell(carry, xg_t):
             hprev, cprev = carry
-            z = jnp.concatenate([xt, hprev], axis=-1)
-            gates = lax.conv_general_dilated(
-                z, kernel, (1, 1), [(k // 2, k // 2)] * 2,
+            gates = xg_t + lax.conv_general_dilated(
+                hprev, kh, (1, 1), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            if bias is not None:
-                gates = gates + bias.astype(gates.dtype)
             i, f, o, g = jnp.split(gates, 4, axis=-1)
             cnext = nn.sigmoid(f) * cprev + nn.sigmoid(i) * jnp.tanh(g)
             hnext = nn.sigmoid(o) * jnp.tanh(cnext)
@@ -68,8 +87,11 @@ class ConvLSTMLayer(nn.Module):
 
         h0 = jnp.zeros((b, h, w, self.hidden), self.dtype)
         c0 = jnp.zeros((b, h, w, self.hidden), self.dtype)
-        xs = jnp.moveaxis(x.astype(self.dtype), 1, 0)      # (T, B, H, W, C)
-        _, hs = lax.scan(cell, (h0, c0), xs)
+        # full unroll: T is small and static (<=16 clip windows); per-scan-
+        # iteration overhead (output stacking DUS + layout churn around the
+        # tiny 12-16ch h-convs) dominated the rolled loop — unrolling was
+        # +36% on its own (76.5 -> 104.2 clips/s b4; BENCH_NOTES round 4).
+        _, hs = lax.scan(cell, (h0, c0), xgs, unroll=True)
         return jnp.moveaxis(hs, 0, 1)                      # (B, T, H, W, hid)
 
 
