@@ -1,0 +1,237 @@
+"""End-to-end NUMBERS oracle vs the reference's own eval pipeline.
+
+VERDICT r3 item 2 / "missing" 1: every prior parity claim was component-level
+(activations atol 2e-4, golden single steps).  This file closes the loop on
+the north star — *score parity on the reference's own standalone eval sweep*
+(test.py:146-206):
+
+* one tiny synthetic [Fake]/[Original]/[Mask] mp4 set (data/synthetic.py),
+* one briefly-trained model, exported to reference-format ``.pth``
+  (utils/torch_export.save_pth),
+* the REFERENCE pipeline: its MdfDataLoader + videotransforms
+  (Resize + ClipToTensor), its torch model loaded from the ``.pth``, the
+  exact sweep/aggregation of test.py:165-198 (gt permute, int32 cast,
+  flatten; sklearn roc_curve/auc, brentq EER, PR-curve AUC, F1@0.20) on
+  torch CPU,
+* OUR pipeline: ``cli/evaluate_models.main`` on the same path list and the
+  same ``.pth``,
+
+and asserts (a) the label vectors are *bit-identical*, (b) the score
+vectors match elementwise to float tolerance, (c) ROC-AUC / EER / PR-AUC /
+F1 match to a documented tolerance.
+
+Mode note: test.py never calls ``model.eval()`` (torch modules default to
+train mode), so the reference's standalone eval accidentally runs BN on
+batch statistics.  That bug is deliberately not reproduced (PARITY.md
+"clean modes"); the oracle calls ``.eval()`` on the reference model so both
+sides score with frozen running stats — isolating data/windowing/transform/
+forward/aggregation parity, which is what this oracle exists to prove.
+
+Size == isize (64) keeps the reference's PIL nearest-resize an identity so
+the 1-px Canny GT stays binary (same constraint as tests/test_gan_engine.py).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from vfd_gan_tpu.data import ClipBatchIterator, MdfVideoDataset  # noqa: E402
+from vfd_gan_tpu.data.synthetic import make_dataset  # noqa: E402
+from vfd_gan_tpu.utils.torch_export import save_pth  # noqa: E402
+
+ISIZE, NFR, BATCH = 64, 16, 2
+
+# documented tolerances: activations match the torch reference at atol 2e-4
+# (tests/test_torch_parity.py); aggregating ~500k pixel scores into
+# rank-based metrics keeps differences well below these bounds in practice
+# (observed ~1e-6); the margins absorb threshold-adjacent F1 pixel flips.
+SCORE_ATOL = 5e-4
+METRIC_ATOL = 2e-3
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("oracle_vids"))
+    return make_dataset(root, n_train=1, n_test=2, frames=32, size=ISIZE,
+                        include_originals=True)
+
+
+def _train_clstm(train_list, steps=40):
+    """Briefly overfit our ConvLSTM so scores have real rank structure
+    (a random-init model's near-flat sigmoids would make ROC order
+    noise-dominated and the oracle flaky).  Positives (1-px Canny edges,
+    ~2% of pixels) are up-weighted so 40 steps suffice to pull them above
+    the background — plain BCE just drives everything to 0."""
+    from vfd_gan_tpu.models.convlstm import ConvLSTMModel
+    from vfd_gan_tpu.ops.augment import normalize_clips
+    from vfd_gan_tpu.train.state import NetState, make_adam
+
+    def pos_weighted_bce(pred, t, w=25.0):
+        p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
+        return -jnp.mean(w * t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+
+    ds = MdfVideoDataset(train_list, NFR, staging=ISIZE)
+    batch = next(iter(ClipBatchIterator(ds, BATCH, seed=0)))
+    x, _, gt = normalize_clips(jnp.asarray(batch["data"]),
+                               jnp.asarray(batch["real"]),
+                               jnp.asarray(batch["mask"]))
+
+    model = ConvLSTMModel()
+    variables = model.init({"params": jax.random.key(0)}, x, False)
+    tx = make_adam(1e-2, 0.5)
+    state = NetState.create(variables, tx)
+
+    @jax.jit
+    def step(state):
+        def f(params):
+            pred, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, True, mutable=["batch_stats"])
+            return pos_weighted_bce(pred, gt), mut["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(f, has_aux=True)(
+            state.params)
+        return state.apply_grads(tx, grads, stats), loss
+
+    for _ in range(steps):
+        state, _ = step(state)
+    return {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+
+
+def _reference_sweep(ref_modules, pth_path, test_list, metric_needs):
+    """The reference's standalone eval, faithfully: its dataset + transforms
+    + torch DataLoader + model + the aggregation of test.py:165-198 —
+    except ``.eval()`` (see module docstring)."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        from lib.data import MdfDataLoader
+        from videotransforms import video_transforms, volume_transforms
+    finally:
+        sys.path.remove("/root/reference")
+
+    transforms = video_transforms.Compose([
+        video_transforms.Resize((ISIZE, ISIZE)),
+        volume_transforms.ClipToTensor(),
+    ])
+    ds = MdfDataLoader(ISIZE, NFR, test_list, transforms)
+    loader = torch.utils.data.DataLoader(
+        dataset=ds, batch_size=BATCH, drop_last=True, shuffle=False,
+        num_workers=0)
+
+    # reference cells hardcode .cuda() hidden-state init (convlstm.py:60-62);
+    # patch for CPU — same workaround as tests/test_torch_parity.py
+    ref_modules.convlstm.ConvLSTMCell.init_hidden = lambda self, b: (
+        torch.zeros(b, self.hidden_dim, self.height, self.width),
+        torch.zeros(b, self.hidden_dim, self.height, self.width))
+    args = types.SimpleNamespace(isize=ISIZE, nfr=NFR)
+    model = ref_modules.convlstm.ConvLSTMModel(args)
+    sd = torch.load(pth_path, map_location="cpu",
+                    weights_only=True)["state_dict"]
+    model.load_state_dict(sd, strict=True)
+    model.eval()
+
+    gts, predicts = [], []
+    with torch.no_grad():
+        for data in loader:
+            input_, real, gt, lb = data
+            predict = model(input_)
+            gts.append(gt.permute(0, 2, 3, 4, 1).cpu().numpy())
+            predicts.append(predict.permute(0, 2, 3, 4, 1).cpu().numpy())
+    labels = np.asarray(np.stack(gts), dtype=np.int32).flatten()
+    scores = np.asarray(np.stack(predicts)).flatten()
+
+    from scipy.interpolate import interp1d
+    from scipy.optimize import brentq
+    from sklearn.metrics import (auc, f1_score, precision_recall_curve,
+                                 roc_curve)
+
+    fpr, tpr, _ = roc_curve(labels, scores)
+    roc_auc = auc(fpr, tpr)
+    eer = brentq(lambda x: 1. - x - interp1d(fpr, tpr)(x), 0., 1.)
+    precision, recall, _ = precision_recall_curve(labels, scores)
+    pr = auc(recall, precision)
+    binned = scores.copy()
+    binned[binned >= 0.20] = 1
+    binned[binned < 0.20] = 0
+    f1 = f1_score(labels, binned)
+    return {"labels": labels, "scores": scores, "auc": roc_auc, "eer": eer,
+            "pr": pr, "f1": f1}
+
+
+def _our_scores(pth_path, test_list):
+    """Score vector exactly as cli/evaluate_models.main computes it (its
+    loader + normalize + jitted eval forward), exposed for the elementwise
+    comparison the CLI's aggregate return can't give us."""
+    from vfd_gan_tpu.cli.evaluate_models import load_model
+    from vfd_gan_tpu.ops.augment import normalize_clips
+
+    model, variables, name = load_model(pth_path, None)
+    apply_fn = jax.jit(lambda v, x: model.apply(v, x, False))
+    ds = MdfVideoDataset(test_list, NFR, staging=ISIZE)
+    loader = ClipBatchIterator(ds, BATCH, shuffle=False)
+    gts, predicts = [], []
+    for batch in loader:
+        data, _, gt = normalize_clips(jnp.asarray(batch["data"]),
+                                      jnp.asarray(batch["real"]),
+                                      jnp.asarray(batch["mask"]))
+        pred = apply_fn(variables, data)
+        gts.append(np.asarray(gt))
+        predicts.append(np.asarray(pred))
+    labels = np.asarray(np.stack(gts), dtype=np.int32).ravel()
+    scores = np.asarray(np.stack(predicts)).ravel()
+    return labels, scores
+
+
+def test_eval_numbers_match_reference(ref_modules, dataset, tmp_path):
+    train_list, test_list = dataset
+    # overfit windows OF THE EVAL SET: this is a numbers oracle, not an
+    # ML-quality test — scoring in-distribution data gives the score vector
+    # real rank structure (AUC well off 0.5) so metric parity is meaningful
+    variables = _train_clstm(test_list)
+    pth = str(tmp_path / "clstm_oracle.pth")
+    save_pth(pth, variables, "clstm")
+
+    ref = _reference_sweep(ref_modules, pth, test_list, ("roc", "pr"))
+
+    # -- elementwise: the north-star claim ("bit-matched anomaly scores") --
+    labels, scores = _our_scores(pth, test_list)
+    np.testing.assert_array_equal(labels, ref["labels"])
+    assert labels.size == scores.size == ref["scores"].size
+    np.testing.assert_allclose(scores, ref["scores"], atol=SCORE_ATOL)
+
+    # -- and through the real CLI: final numbers off the same entry point
+    # a user would run --
+    from vfd_gan_tpu.cli.evaluate_models import main as eval_main
+    mlist = tmp_path / "models.txt"
+    mlist.write_text(pth + "\n")
+    common = ["--isize", str(ISIZE), "--nfr", str(NFR),
+              "--batchsize", str(BATCH),
+              "--test_data_path", test_list,
+              "--test_model_list_path", str(mlist),
+              "--result_path", str(tmp_path / "out")]
+    ours_roc = eval_main(common + ["--metric", "roc"])["ConvLSTM"]
+    ours_pr = eval_main(common + ["--metric", "pr"])["ConvLSTM"]
+
+    assert abs(ours_roc["auc"] - ref["auc"]) < METRIC_ATOL, \
+        (ours_roc["auc"], ref["auc"])
+    assert abs(ours_roc["eer"] - ref["eer"]) < METRIC_ATOL, \
+        (ours_roc["eer"], ref["eer"])
+    assert abs(ours_pr["auc"] - ref["pr"]) < METRIC_ATOL, \
+        (ours_pr["auc"], ref["pr"])
+    assert abs(ours_roc["f1"] - ref["f1"]) < METRIC_ATOL, \
+        (ours_roc["f1"], ref["f1"])
+    # the sweep actually saw both classes and structured scores (guard
+    # against a degenerate all-one-class / constant-score pass trivially
+    # "matching")
+    assert 0 < labels.sum() < labels.size
+    assert ref["scores"].std() > 1e-3, ref["scores"].std()
+    assert ref["auc"] > 0.6, ref["auc"]

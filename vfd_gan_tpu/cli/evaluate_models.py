@@ -149,6 +149,7 @@ def main(argv=None):
         labels = np.asarray(np.stack(gts), dtype=np.int32).ravel()
         scores = np.asarray(np.stack(predicts)).ravel()
 
+        eer = None
         if args.metric == "roc":
             area, eer, fpr, tpr = roc_auc_with_eer(labels, scores)
             plt.plot(fpr, tpr, lw=2,
@@ -159,7 +160,7 @@ def main(argv=None):
             plt.plot(recall, precision, lw=2,
                      label="%s: (AUC = %0.2f)" % (name, area))
         f1 = evaluate(labels, scores, metric="f1_score")
-        results[name] = (area, f1)
+        results[name] = {"auc": area, "f1": f1, "eer": eer}
         print("%s / %s == %f" % (ckpt, args.metric, area))
         print("%s / f1 == %f" % (ckpt, f1))
 
