@@ -19,6 +19,16 @@ from vfd_gan_tpu.ops.augment import staging_size
 def build_iterators(cfg: Config):
     """Train/test batch iterators with the reference's loader semantics
     (both splits shuffled + drop_last during training, lib/data.py:142)."""
+    if cfg.synthetic_data:
+        # on-device generated batches (soak/benchmark mode) — the loop,
+        # sweeps, checkpointing and resume all run exactly as with real data
+        from vfd_gan_tpu.data.device_synthetic import DeviceSyntheticIterator
+        return (DeviceSyntheticIterator(
+                    cfg.batchsize, cfg.nfr, staging_size(cfg.isize),
+                    n_batches=cfg.synthetic_data, seed=cfg.seed),
+                DeviceSyntheticIterator(
+                    cfg.batchsize, cfg.nfr, cfg.isize,
+                    n_batches=cfg.synthetic_test_batches, seed=cfg.seed + 1))
     train_ds = MdfVideoDataset(cfg.tr_plist, cfg.nfr,
                                staging=staging_size(cfg.isize))
     test_ds = MdfVideoDataset(cfg.ts_plist, cfg.nfr, staging=cfg.isize)
@@ -60,9 +70,10 @@ def main(argv=None) -> None:
               f"{jax.process_count()}, {len(jax.devices())} global devices")
     enable_compilation_cache()
     cfg = parse_args(argv)
-    if not cfg.tr_plist or not cfg.ts_plist:
+    if not cfg.synthetic_data and (not cfg.tr_plist or not cfg.ts_plist):
         print("error: --tr_plist and --ts_plist are required "
-              "(no hardcoded dataset defaults)", file=sys.stderr)
+              "(no hardcoded dataset defaults; or use --synthetic_data N)",
+              file=sys.stderr)
         sys.exit(2)
     train_iter, test_iter = build_iterators(cfg)
     engine = build_engine(cfg, train_iter, test_iter)

@@ -181,6 +181,16 @@ class Config:
     # models/anogan.py:145-147).  GANomaly never ran in the reference, so
     # the flag has no effect there.
     ref_mode_quirks: bool = False
+    # On-device synthetic data mode: N train batches per epoch generated by
+    # a jitted PRNG function instead of the mp4 pipeline
+    # (data/device_synthetic.py).  For soak tests and benchmarking of the
+    # full engine loop where host->device bandwidth (or a missing dataset)
+    # would starve the accelerator; --tr_plist/--ts_plist become optional.
+    # 0 = off (real data).
+    synthetic_data: int = 0
+    # Test-split batches per sweep in synthetic mode (kept small: the sweep
+    # fetches gt/pred to host for ROC scoring).
+    synthetic_test_batches: int = 2
 
     def validate(self) -> "Config":
         if self.model not in MODELS:

@@ -79,6 +79,12 @@ class SummaryLogger:
         if enabled and SummaryWriter is not None:
             self._writer = SummaryWriter(log_dir=logdir)
 
+    @property
+    def enabled(self) -> bool:
+        """True when updates actually reach a writer — engines use this to
+        skip building (and device->host fetching) TB-only video panels."""
+        return self._writer is not None
+
     def dump_config(self, run_root: str, cfg) -> None:
         with open(os.path.join(run_root, "args.txt"), "w") as f:
             json.dump(dataclasses.asdict(cfg), f, indent=4)

@@ -218,11 +218,12 @@ class AnoGanEngine(EngineBase):
             # raw heat-map scored, not the morphologised mask
             # (anogan.py:184-185)
             sweep.add(gt, pred, metrics)
-            d = {k: np.asarray(v) for k, v in viz.items()}
-            self.color_videos["test/input-real-gen"] = np.concatenate(
-                [d["input"], d["real"], d["gen"]], axis=2)
-            self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
-                [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+            if self.summary.enabled:
+                d = {k: np.asarray(v) for k, v in viz.items()}
+                self.color_videos["test/input-real-gen"] = np.concatenate(
+                    [d["input"], d["real"], d["gen"]], axis=2)
+                self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
+                    [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
         roc, pr, f1 = self.score_and_checkpoint(
             sweep.gts, sweep.preds, self._save_weights)

@@ -82,6 +82,7 @@ class EngineBase:
         self.best_roc = 0.0
         self.best_pr = 0.0
         self.timer = StepTimer()
+        self._win_start = None  # steady-state throughput window anchor
 
         # Periodic-summary buffers (flushed every cfg.freq steps,
         # lib/train_gan.py:76-80).
@@ -125,13 +126,28 @@ class EngineBase:
                 self.timer.tick()
 
                 if self.global_step % cfg.freq == 0:
-                    # device->host syncs only on the summary cadence
+                    # device->host syncs only on the summary cadence.  The
+                    # float() fetches are ALSO the throughput sync point:
+                    # device execution is in-order, so once this step's
+                    # scalars arrive, all `freq` steps of the window have
+                    # completed — dispatch-rate timers lie under async
+                    # dispatch (a remote TPU enqueues steps instantly).
+                    import time as _time
                     self.errors.update(
                         {k: float(v) for k, v in metrics.items()})
-                    self._update_train_videos(viz)
+                    now = _time.perf_counter()
+                    if self._win_start is not None:
+                        self.errors["perf/steps_per_sec"] = (
+                            cfg.freq / (now - self._win_start))
+                    if self.summary.enabled:
+                        # video panels exist only for TensorBoard — skip the
+                        # (large) device->host viz fetches when it's off
+                        self._update_train_videos(viz)
                     self.test()
-                    self.errors["perf/steps_per_sec"] = self.timer.steps_per_sec
                     self.flush_summary()
+                    # window restarts after the sweep/flush host work, so
+                    # the next measurement covers train steps only
+                    self._win_start = _time.perf_counter()
 
                 if cfg.autosave_every and \
                         self.global_step % cfg.autosave_every == 0:

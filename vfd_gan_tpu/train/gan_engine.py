@@ -426,11 +426,12 @@ class MyGanEngine(EngineBase):
                 self.g_state = self.g_state.replace(batch_stats=g_stats)
                 self.d_state = self.d_state.replace(batch_stats=d_stats)
                 sweep.add(gt, m_pre, metrics)
-                d = {k: np.asarray(v) for k, v in viz.items()}
-                self.color_videos["test/input-real"] = np.concatenate(
-                    [d["input"], d["real"]], axis=2)
-                self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
-                    [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+                if self.summary.enabled:
+                    d = {k: np.asarray(v) for k, v in viz.items()}
+                    self.color_videos["test/input-real"] = np.concatenate(
+                        [d["input"], d["real"]], axis=2)
+                    self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
+                        [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
                 continue
             caching = self.cfg.cache_gt_flow and idx is not None
             if caching and all(int(i) in self._gt_flow_cache for i in idx):
@@ -446,11 +447,14 @@ class MyGanEngine(EngineBase):
                     for j, i in enumerate(idx):
                         self._gt_flow_cache[int(i)] = gt_flow[j]
             sweep.add(gt, m_pre, metrics)
-            d = {k: np.asarray(v) for k, v in viz.items()}
-            self.color_videos["test/input-real"] = np.concatenate(
-                [d["input"], d["real"]], axis=2)
-            self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
-                [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
+            if self.summary.enabled:
+                # TB-only panels: skip the bulk device->host viz fetch when
+                # summaries are off (the sweep still fetches gt/m_pre above)
+                d = {k: np.asarray(v) for k, v in viz.items()}
+                self.color_videos["test/input-real"] = np.concatenate(
+                    [d["input"], d["real"]], axis=2)
+                self.gray_videos["test/gt-pre-th-morph"] = np.concatenate(
+                    [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
         roc, pr, f1 = self.score_and_checkpoint(
             sweep.gts, sweep.preds, self._save_weights)

@@ -204,11 +204,12 @@ class SupervisedEngine(EngineBase):
             # scored prediction = morphology-opened binary mask
             # (lib/train_stcnn.py:158-162)
             sweep.add(gt, m_pre, {"loss/err/test": err})
-            self.color_videos["test/input-real"] = np.concatenate(
-                [np.asarray(data), np.asarray(real)], axis=2)
-            self.gray_videos["test/mask-pre-th-mor"] = np.concatenate(
-                [np.asarray(gt), np.asarray(pred), np.asarray(threshold(pred)),
-                 np.asarray(m_pre)], axis=2)
+            if self.summary.enabled:
+                self.color_videos["test/input-real"] = np.concatenate(
+                    [np.asarray(data), np.asarray(real)], axis=2)
+                self.gray_videos["test/mask-pre-th-mor"] = np.concatenate(
+                    [np.asarray(gt), np.asarray(pred),
+                     np.asarray(threshold(pred)), np.asarray(m_pre)], axis=2)
 
         roc, pr, f1 = self.score_and_checkpoint(
             sweep.gts, sweep.preds, self._save_weights)
