@@ -104,6 +104,7 @@ def main() -> None:
                  ngf=32, ndf=32, ep=1, freq=10 ** 9,
                  compute_dtype="bfloat16", tensorboard=False,
                  flow_scale=FLOW_SCALE,
+                 int8_disc=os.environ.get("BENCH_INT8_DISC", "0") == "1",
                  result_root=tmp).validate()
     engine, carry, step = _build_engine(cfg)
 

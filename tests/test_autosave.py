@@ -84,6 +84,11 @@ def test_async_autosave_writes_latest_and_resumes(tmp_path):
     assert os.path.isdir(latest)
     cfg2 = Config(**{**cfg.__dict__, "resume": latest})
     eng2 = SupervisedEngine(cfg2, *build_iterators(cfg2))
-    assert eng2.global_step == eng.global_step - eng.global_step % 2
+    # single-flight contract: a save is SKIPPED (not queued) while the
+    # previous write is in flight, so under host load `latest` may be one
+    # autosave_every stale — any positive autosave multiple <= final step
+    # is correct (SIGTERM/exit paths do a synchronous final save instead)
+    assert eng2.global_step in range(2, eng.global_step + 1, 2), \
+        (eng2.global_step, eng.global_step)
     eng.close()
     eng2.close()

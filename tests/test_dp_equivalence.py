@@ -47,10 +47,19 @@ def test_dp4_matches_dp1(data, tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
-def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory):
+@pytest.mark.parametrize("flow_scale", [0.5, 1.0])
+def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory, flow_scale):
     """The fused MyGAN step (two optimisers, sequential D BN updates,
     on-device flow) is DP-invariant: dp4 == dp1 on the same global batch
-    (VERDICT.md round-1 Weak #4)."""
+    (VERDICT.md round-1 Weak #4) — at BOTH flow scales, with tolerances
+    calibrated from a measured dp2 noise yardstick instead of constants
+    pinned to one config (VERDICT r3 weak-7 / item 8; rationale in
+    parallel/verify.py).  Round-3 history for the old constants: dp4
+    reassociates BN batch statistics (max ~4e-4 rel on loss scalars with
+    the two-pass variance; the one-pass E[x^2]-E[x]^2 form cancelled
+    catastrophically on near-constant mask channels, 2e-2) while a
+    semantic DP bug diverges by O(weight scale 0.02)."""
+    from vfd_gan_tpu.parallel.verify import assert_replica_equivalence
     from vfd_gan_tpu.train.gan_engine import MyGanEngine
 
     if len(jax.devices()) < 4:
@@ -61,14 +70,10 @@ def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory):
                                          include_originals=False)
 
     results = {}
-    for dp in (1, 4):
-        # flow_scale pinned to 1.0: the tolerance rationale below was
-        # calibrated on full-res flow — the 0.5 production default's
-        # smoother upsampled flow shrinks the temporal-D input variance
-        # and pushes its BN reassociation noise just past rtol
+    for dp in (1, 2, 4):
         cfg = Config(model="mygan", isize=64, nfr=16, batchsize=4, ep=1,
                      freq=10 ** 6, dp=dp, lr=1e-4, ngf=4, ndf=4,
-                     flow_scale=1.0,
+                     flow_scale=flow_scale,
                      result_root=str(tmp_path), tensorboard=False,
                      compute_dtype="float32", seed=7,
                      tr_plist=train_list, ts_plist=test_list).validate()
@@ -85,22 +90,10 @@ def test_gan_dp4_matches_dp1(tmp_path, tmp_path_factory):
                                 d_state.batch_stats)))])
         eng.close()
 
-    # Tolerances: dp4 changes reduction order, which perturbs BN batch
-    # statistics (measured max ~4e-4 rel on loss scalars with the two-pass
-    # variance; the one-pass E[x^2]-E[x]^2 form cancelled catastrophically
-    # on near-constant mask channels and blew this to 2e-2) and the bf16
-    # flow matmuls.  Params move by <= ~lr (1e-4) per Adam step, so a
-    # semantic DP bug (unsynced grads/BN) would diverge by O(weight scale
-    # 0.02) — two orders above atol — while reduction noise at worst flips
-    # a near-zero gradient's sign (2*lr) or shifts a BN running stat by
-    # momentum*var_noise (measured max 2e-4 across params+stats).
-    m1, m4 = results[1][0], results[4][0]
-    assert set(m1) == set(m4)
-    for k in m1:
-        np.testing.assert_allclose(m1[k], m4[k], rtol=1e-3, atol=1e-6,
-                                   err_msg=k)
-    for a, b in zip(results[1][1], results[4][1]):
-        np.testing.assert_allclose(a, b, atol=4e-4)
+    rtol, atol = assert_replica_equivalence(
+        results[1], results[2], results[4], label=f"fs{flow_scale}")
+    print(f"dp gate fs{flow_scale}: calibrated rtol={rtol:.2e} "
+          f"atol={atol:.2e}")
 
 
 def test_gan_dp2_sp2_matches_dp1(tmp_path, tmp_path_factory):

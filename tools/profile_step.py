@@ -22,49 +22,53 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--model", default="mygan",
+                    help="any bench.py family: mygan/c2plus1d/xception/"
+                         "clstm/anogan/ganomaly")
+    ap.add_argument("--batch", type=int, default=4)
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="vfd_trace_")
 
     import jax
     import jax.numpy as jnp
 
+    import bench
     from vfd_gan_tpu.config import Config
     from vfd_gan_tpu.ops.augment import staging_size
-    from vfd_gan_tpu.train.gan_engine import MyGanEngine
     from vfd_gan_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
     tmp = tempfile.mkdtemp(prefix="profstep_")
-    cfg = Config(model="mygan", isize=128, nfr=16, batchsize=4, ngf=32,
+    b = args.batch
+    cfg = Config(model=args.model, isize=128, nfr=16, batchsize=b, ngf=32,
                  ndf=32, ep=1, freq=10 ** 9, compute_dtype="bfloat16",
                  tensorboard=False, result_root=tmp).validate()
-    engine = MyGanEngine(cfg, train_iter=None, test_iter=None)
+    engine, carry, step = bench._build_engine(cfg)
     s = staging_size(128)
 
     @jax.jit
     def make_batch(k):
         k1, k2, k3 = jax.random.split(k, 3)
         return {
-            "data": jax.random.randint(k1, (4, 16, s, s, 3), 0, 255,
+            "data": jax.random.randint(k1, (b, 16, s, s, 3), 0, 255,
                                        jnp.uint8),
-            "real": jax.random.randint(k2, (4, 16, s, s, 3), 0, 255,
+            "real": jax.random.randint(k2, (b, 16, s, s, 3), 0, 255,
                                        jnp.uint8),
-            "mask": (jax.random.randint(k3, (4, 16, s, s, 1), 0, 2,
+            "mask": (jax.random.randint(k3, (b, 16, s, s, 1), 0, 2,
                                         jnp.uint8) * 255).astype(jnp.uint8),
-            "label": jnp.ones((4, 16), jnp.float32),
+            "label": jnp.ones((b, 16), jnp.float32),
         }
 
     batch = make_batch(jax.random.key(1))
     key = jax.random.key(0)
-    g, d = engine.g_state, engine.d_state
-    g, d, metrics, _ = engine._train_step(g, d, batch, key)
-    float(metrics["d/err_d/train"])          # warm/compile
+    carry, scalar = step(carry, batch, key)
+    float(scalar)                             # warm/compile
 
     jax.profiler.start_trace(out)
     for i in range(args.steps):
         key, sub = jax.random.split(key)
-        g, d, metrics, _ = engine._train_step(g, d, batch, sub)
-    float(metrics["d/err_d/train"])
+        carry, scalar = step(carry, batch, sub)
+    float(scalar)
     jax.profiler.stop_trace()
     print(f"trace written to {out}", flush=True)
 

@@ -181,6 +181,15 @@ class Config:
     # models/anogan.py:145-147).  GANomaly never ran in the reference, so
     # the flag has no effect there.
     ref_mode_quirks: bool = False
+    # Int8 discriminator branch in the MyGAN train step: D's (2+1)D convs
+    # run int8 forward (dynamic per-tensor activation scales, per-channel
+    # weights, int32 MXU accumulation) with straight-through float
+    # gradients (quant/qdisc.py).  PROVABLY score-invariant: G's update has
+    # no D term (the adversarial value is detached telemetry,
+    # models/mygannet.py:279-312; pinned by tests/test_int8_disc.py) — only
+    # D's own trajectory and the loss telemetry change.  Perf experiment
+    # knob; see BENCH_NOTES for the measured number.
+    int8_disc: bool = False
     # On-device synthetic data mode: N train batches per epoch generated by
     # a jitted PRNG function instead of the mp4 pipeline
     # (data/device_synthetic.py).  For soak tests and benchmarking of the

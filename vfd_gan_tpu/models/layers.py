@@ -165,6 +165,10 @@ class STConv(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    # int8 forward + float-STE backward (quant/qdisc.py) — used by the
+    # discriminator under --int8_disc; requires symmetric spatial padding
+    # and stride-1 temporal conv (the only shapes the D family has).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -177,7 +181,11 @@ class STConv(nn.Module):
         sk = self.param("spatial_kernel", dcgan_normal_init(),
                         (kh, kw, cin, mid))
         assert sh == sw, "anisotropic spatial stride unused by the reference"
-        y = spatial_conv(x, sk, stride=sh, padding=[(ph, ph), (pw, pw)])
+        if self.quant and ph == pw:
+            from vfd_gan_tpu.quant.qdisc import qspatial_conv
+            y = qspatial_conv(x, sk.astype(self.dtype), sh, ph)
+        else:
+            y = spatial_conv(x, sk, stride=sh, padding=[(ph, ph), (pw, pw)])
         if self.use_bias:
             sb = self.param("spatial_bias", torch_default_init(cin * kh * kw),
                             (mid,))
@@ -189,7 +197,11 @@ class STConv(nn.Module):
 
         tk = self.param("temporal_kernel", dcgan_normal_init(),
                         (kt, mid, self.features))
-        y = temporal_conv(y, tk, stride=st, padding=pt)
+        if self.quant and st == 1:
+            from vfd_gan_tpu.quant.qdisc import qtemporal_conv
+            y = qtemporal_conv(y, tk.astype(self.dtype), pt)
+        else:
+            y = temporal_conv(y, tk, stride=st, padding=pt)
         if self.use_bias:
             tb = self.param("temporal_bias", torch_default_init(mid * kt),
                             (self.features,))
@@ -227,12 +239,13 @@ class DiscConvBlock(nn.Module):
     padding: Sequence[int] = (1, 1, 1)
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = STConv(self.features, self.kernel_size, padding=self.padding,
                    dtype=self.dtype, axis_name=self.axis_name,
-                   name="stconv")(x, train)
+                   quant=self.quant, name="stconv")(x, train)
         y = VideoBatchNorm(dtype=self.dtype, axis_name=self.axis_name,
                            name="bn")(y, train)
         return nn.leaky_relu(y, negative_slope=0.01)

@@ -92,12 +92,13 @@ class SpatialDisc(nn.Module):
     ndf: int = 32
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    quant: bool = False      # int8 forward convs (quant/qdisc.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         blk = lambda f, name: DiscConvBlock(
             f, kernel_size=(1, 3, 3), padding=(0, 1, 1), dtype=self.dtype,
-            axis_name=self.axis_name, name=name)
+            axis_name=self.axis_name, quant=self.quant, name=name)
         f = self.ndf
         for i, mult in enumerate((1, 2, 4, 8, 16, 32)):
             x = blk(f * mult, f"dconv{i + 1}")(x, train)
@@ -117,12 +118,13 @@ class TemporalDisc(nn.Module):
     ndf: int = 32
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         blk = lambda f, name: DiscConvBlock(
             f, kernel_size=(3, 1, 1), padding=(1, 0, 0), dtype=self.dtype,
-            axis_name=self.axis_name, name=name)
+            axis_name=self.axis_name, quant=self.quant, name=name)
         f = self.ndf
         for i, mult in enumerate((1, 2, 4)):
             x = blk(f * mult, f"dconv{i + 1}")(x, train)
@@ -142,11 +144,12 @@ class DualDisc(nn.Module):
     ndf: int = 32
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, y, train: bool = False):
         s_cls, s_feat = SpatialDisc(self.ndf, self.dtype, self.axis_name,
-                                    name="spatdisc")(x, train)
+                                    self.quant, name="spatdisc")(x, train)
         t_cls, t_feat = TemporalDisc(self.ndf, self.dtype, self.axis_name,
-                                     name="tempdisc")(y, train)
+                                     self.quant, name="tempdisc")(y, train)
         return s_cls, s_feat, t_cls, t_feat

@@ -327,14 +327,17 @@ def farneback_flow(prev, cur, *, pyr_scale: float = 0.5, levels: int = 3,
     cur = cur.astype(jnp.float32)
 
     # Gaussian pyramid (coarsest last); shapes mirror cv2's 0.5 scaling.
+    # prev/cur ride ONE concatenated batch through the blur+resize chain —
+    # halves the per-level dispatch count (flow-pyramid batching A/B,
+    # BENCH_NOTES round 4).
     pyramid = [(prev, cur)]
+    both = jnp.concatenate([prev, cur], axis=0)
     for _ in range(1, levels):
-        p, c = pyramid[-1]
-        nh, nw = max(2, p.shape[-2] // 2), max(2, p.shape[-1] // 2)
-        blur_p, blur_c = _gauss_blur(p, 1.0), _gauss_blur(c, 1.0)
-        pyramid.append((
-            resize_bilinear(blur_p[..., None], (nh, nw))[..., 0],
-            resize_bilinear(blur_c[..., None], (nh, nw))[..., 0]))
+        nh = max(2, both.shape[-2] // 2)
+        nw = max(2, both.shape[-1] // 2)
+        both = resize_bilinear(_gauss_blur(both, 1.0)[..., None],
+                               (nh, nw))[..., 0]
+        pyramid.append(tuple(jnp.split(both, 2, axis=0)))
 
     flow = jnp.zeros(pyramid[-1][0].shape + (2,), jnp.float32)
     for li in range(levels - 1, -1, -1):

@@ -58,7 +58,8 @@ class MyGanEngine(EngineBase):
             self.netg = AutoEncoder(dtype=dtype)
         else:
             self.netg = Generator(ngf=cfg.ngf, dtype=dtype, remat=cfg.remat)
-        self.netd = DualDisc(ndf=cfg.ndf, dtype=dtype)
+        self.netd = DualDisc(ndf=cfg.ndf, dtype=dtype,
+                             quant=cfg.int8_disc)
         self.tx_g = make_adam(cfg.lr, cfg.beta1)
         self.tx_d = make_adam(cfg.lr, cfg.beta1)
 
