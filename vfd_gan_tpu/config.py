@@ -190,6 +190,13 @@ class Config:
     # D's own trajectory and the loss telemetry change.  Perf experiment
     # knob; see BENCH_NOTES for the measured number.
     int8_disc: bool = False
+    # Score the periodic test sweep ON DEVICE (eval/device_metrics.py):
+    # one jitted sort+cumsum computes ROC/EER/PR/F1 and only scalars cross
+    # the host link, instead of fetching every sweep batch's full gt/pred
+    # arrays.  Numerics pinned against sklearn (tests/test_device_metrics).
+    # The improved-only ROC/PR curve PNG+CSV artifacts are skipped in this
+    # mode (they need the host arrays it avoids fetching).
+    device_scoring: bool = False
     # On-device synthetic data mode: N train batches per epoch generated by
     # a jitted PRNG function instead of the mp4 pipeline
     # (data/device_synthetic.py).  For soak tests and benchmarking of the

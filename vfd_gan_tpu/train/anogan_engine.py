@@ -208,7 +208,7 @@ class AnoGanEngine(EngineBase):
             [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
     def test(self) -> tuple[float, float, float]:
-        sweep = SweepAccumulator()
+        sweep = SweepAccumulator(device=self.cfg.device_scoring)
         for batch in self.test_iter:
             self.key, step_key = jax.random.split(self.key)
             sharded = shard_batch(self.mesh, batch)

@@ -28,17 +28,27 @@ class SweepAccumulator:
     previously triplicated across the GAN/AnoGAN/supervised sweeps).
     ``stacked()`` is only valid when ``n > 0`` — engines route through
     ``EngineBase.score_and_checkpoint``, which handles the empty case.
+
+    ``device=True`` (``--device_scoring``) keeps the per-batch arrays on
+    device — the whole ROC/EER/PR/F1 aggregation then runs in one jitted
+    sort-and-cumsum (eval/device_metrics.py) and only scalars cross the
+    host link, instead of fetching every sweep batch's full gt/pred.
     """
 
-    def __init__(self):
-        self.gts: list[np.ndarray] = []
-        self.preds: list[np.ndarray] = []
+    def __init__(self, device: bool = False):
+        self.device = device
+        self.gts: list = []
+        self.preds: list = []
         self._sums: dict[str, float] = {}
         self.n = 0
 
     def add(self, gt, pred, metrics=None) -> None:
-        self.gts.append(np.asarray(gt))
-        self.preds.append(np.asarray(pred))
+        if self.device:
+            self.gts.append(gt)
+            self.preds.append(pred)
+        else:
+            self.gts.append(np.asarray(gt))
+            self.preds.append(np.asarray(pred))
         for k, v in (metrics or {}).items():
             self._sums[k] = self._sums.get(k, 0.0) + float(v)
         self.n += 1
@@ -273,6 +283,8 @@ class EngineBase:
             self.scores.update({"score/roc": nan, "score/pr": nan,
                                 "score/f1": nan})
             return nan, nan, nan
+        if getattr(self.cfg, "device_scoring", False):
+            return self._score_on_device(gts, predicts, save_fn)
         # The reference casts GT to int32 — truncation binarises fractional
         # (resized) mask edges to 0 (models/mygannet.py:444).
         labels = np.asarray(gts, dtype=np.int32).ravel()
@@ -298,6 +310,36 @@ class EngineBase:
             self.best_pr = pr
             save_fn("pr")
         self.scores.update({"score/roc": roc, "score/pr": pr, "score/f1": f1})
+        return roc, pr, f1
+
+    def _score_on_device(self, gts, predicts, save_fn):
+        """--device_scoring: the whole sweep aggregation runs jitted on
+        device (eval/device_metrics.score_sweep); only 4 scalars cross the
+        link.  Numerics pinned against sklearn in test_device_metrics.py.
+        The improved-only curve PNG/CSV artifacts are skipped (they need
+        the host arrays this mode exists to avoid fetching); the
+        if-roc-elif-pr best-checkpoint rule is unchanged — NaN scores
+        (single-class sweep) save nothing, as in the host path."""
+        import jax.numpy as jnp
+
+        from vfd_gan_tpu.eval.device_metrics import score_sweep
+        roc_v, eer_v, pr_v, f1_v = score_sweep(jnp.stack(gts),
+                                               jnp.stack(predicts))
+        roc, pr, f1 = float(roc_v), float(pr_v), float(f1_v)
+        if not np.isfinite(roc):
+            # same contract as the host path: single-class sweeps score NaN
+            # across the board and save nothing
+            print(" >> test labels are single-class; ROC/PR are undefined "
+                  "(scores NaN, no checkpoint)")
+            pr = f1 = float("nan")
+        elif roc > self.best_roc:
+            self.best_roc = roc
+            save_fn("roc")
+        elif pr > self.best_pr:
+            self.best_pr = pr
+            save_fn("pr")
+        self.scores.update({"score/roc": roc, "score/pr": pr,
+                            "score/f1": f1, "score/eer": float(eer_v)})
         return roc, pr, f1
 
     def flush_summary(self) -> None:

@@ -411,7 +411,7 @@ class MyGanEngine(EngineBase):
                            for k in ("input", "gt", "pred", "t_pre", "m_pre")})
 
     def test(self) -> tuple[float, float, float]:
-        sweep = SweepAccumulator()
+        sweep = SweepAccumulator(device=self.cfg.device_scoring)
         for batch in self.test_iter:
             idx = batch.pop("index", None)
             sharded = shard_batch(self.mesh, batch)

@@ -196,7 +196,7 @@ class SupervisedEngine(EngineBase):
             [d["gt"], d["pred"], d["t_pre"], d["m_pre"]], axis=2)
 
     def test(self) -> tuple[float, float, float]:
-        sweep = SweepAccumulator()
+        sweep = SweepAccumulator(device=self.cfg.device_scoring)
         for batch in self.test_iter:
             sharded = shard_batch(self.mesh, batch)
             err, gt, pred, m_pre, data, real = self._eval_step(self.state,
