@@ -54,6 +54,20 @@ def test_temporal_conv_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_temporal_conv_xla_emitter_knob_matches(monkeypatch):
+    """VFD_TC_XLA=1 (wide-channel A/B knob) routes the stride-1 path
+    through the generic conv emitter — same numbers as the GEMM lowering."""
+    import os
+    x = _video()
+    w = rng.normal(size=(3, CIN, COUT)).astype(np.float32) * 0.1
+    base = np.asarray(temporal_conv(jnp.asarray(x), jnp.asarray(w),
+                                    padding=1))
+    monkeypatch.setitem(os.environ, "VFD_TC_XLA", "1")
+    alt = np.asarray(temporal_conv(jnp.asarray(x), jnp.asarray(w),
+                                   padding=1))
+    np.testing.assert_allclose(alt, base, atol=1e-5)
+
+
 def test_conv3d_matches_torch():
     x = _video()
     w = rng.normal(size=(3, 3, 3, CIN, COUT)).astype(np.float32) * 0.1

@@ -79,7 +79,12 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
     else:
         pad_lo = pad_hi = padding
 
-    if stride == 1:
+    if stride == 1 and os.environ.get("VFD_TC_XLA", "0") == "0":
+        # VFD_TC_XLA=1 routes through the generic conv emitter below — an
+        # A/B knob: the GEMM lowering was tuned at mygan's 27-96 channel
+        # widths; wider families (xception 128-728ch) may prefer the
+        # emitter's layouts (round-4 profile shows a relayout band around
+        # these GEMMs).
         if _TC_CUSTOM_VJP and pad_lo <= kt - 1 and pad_hi <= kt - 1:
             return _temporal_conv_s1(x, kernel, pad_lo, pad_hi)
         return _tc_s1_impl(x, kernel, pad_lo, pad_hi)
