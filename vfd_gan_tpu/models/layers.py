@@ -36,6 +36,16 @@ def _BN_ONEPASS() -> bool:
     return os.environ.get("VFD_BN_ONEPASS", "0") == "1"
 
 
+def _BN_NORM_LOWP() -> bool:
+    """VFD_BN_NORM_LOWP=1: normalise in the model dtype instead of f32
+    (statistics stay f32).  Perf A/B knob for bf16 models — the f32
+    normalise makes autodiff thread full-resolution f32 cotangents through
+    every BN (the profile's convert_reduce/f32-activation band); bf16
+    normalise keeps the backward chain in bf16.  No effect on f32 models
+    (parity/equivalence tests are f32 and unchanged)."""
+    return os.environ.get("VFD_BN_NORM_LOWP", "0") == "1"
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm with exact torch running-stat semantics.
 
@@ -125,6 +135,11 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
 
+        if _BN_NORM_LOWP() and self.dtype != jnp.float32:
+            d = self.dtype
+            y = (x.astype(d) - mean.astype(d)) * jax.lax.rsqrt(
+                var + self.epsilon).astype(d)
+            return y * scale.astype(d) + bias.astype(d)
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
 

@@ -79,12 +79,7 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
     else:
         pad_lo = pad_hi = padding
 
-    if stride == 1 and os.environ.get("VFD_TC_XLA", "0") == "0":
-        # VFD_TC_XLA=1 routes through the generic conv emitter below — an
-        # A/B knob: the GEMM lowering was tuned at mygan's 27-96 channel
-        # widths; wider families (xception 128-728ch) may prefer the
-        # emitter's layouts (round-4 profile shows a relayout band around
-        # these GEMMs).
+    if stride == 1 and not _tc_use_emitter(x.shape[-1]):
         if _TC_CUSTOM_VJP and pad_lo <= kt - 1 and pad_hi <= kt - 1:
             return _temporal_conv_s1(x, kernel, pad_lo, pad_hi)
         return _tc_s1_impl(x, kernel, pad_lo, pad_hi)
@@ -97,6 +92,28 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y.reshape(b, y.shape[1], h, w, -1)
+
+
+def _tc_use_emitter(cin: int) -> bool:
+    """Stride-1 lowering choice (read at trace time): shifted channel GEMMs
+    for narrow inputs, XLA's conv emitter for wide ones.
+
+    Both regimes are MEASURED (round-4 interleaved A/Bs, BENCH_NOTES
+    "temporal-conv lowering is width-dependent"): the GEMM lowering wins
+    decisively at mygan's widths (full-emitter mygan: 46.8 -> 33.4
+    clips/s, bytes 118.6 -> 158.3 GB/step), while the emitter wins at the
+    c2plus1d autoencoder's wide mids (53.9 -> 57.3, bytes 80.8 -> 74.0 GB
+    — the GEMM path's layout copies around >=128-channel operands cost
+    more than the emitter's windowing).  ``VFD_TC_XLA=1`` forces the
+    emitter everywhere, ``=0`` the GEMMs everywhere (the old behaviours);
+    default is the width rule with the boundary at
+    ``VFD_TC_EMITTER_MIN_CIN`` (128)."""
+    force = os.environ.get("VFD_TC_XLA", "")
+    if force == "1":
+        return True
+    if force == "0":
+        return False
+    return cin >= int(os.environ.get("VFD_TC_EMITTER_MIN_CIN", "128"))
 
 
 _TC_FLAT = os.environ.get("VFD_TC_FLAT", "0") != "0"
