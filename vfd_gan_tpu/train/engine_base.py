@@ -283,7 +283,7 @@ class EngineBase:
             self.scores.update({"score/roc": nan, "score/pr": nan,
                                 "score/f1": nan})
             return nan, nan, nan
-        if getattr(self.cfg, "device_scoring", False):
+        if getattr(getattr(self, "cfg", None), "device_scoring", False):
             return self._score_on_device(gts, predicts, save_fn)
         # The reference casts GT to int32 — truncation binarises fractional
         # (resized) mask edges to 0 (models/mygannet.py:444).
