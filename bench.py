@@ -105,6 +105,8 @@ def main() -> None:
                  compute_dtype="bfloat16", tensorboard=False,
                  flow_scale=FLOW_SCALE,
                  int8_disc=os.environ.get("BENCH_INT8_DISC", "0") == "1",
+                 remat=os.environ.get("BENCH_REMAT", "0") == "1",
+                 remat_blocks=os.environ.get("BENCH_REMAT_BLOCKS", ""),
                  result_root=tmp).validate()
     engine, carry, step = _build_engine(cfg)
 
@@ -187,14 +189,19 @@ def main() -> None:
     engine.close()
 
 
-def _step_cost_analysis(engine, cfg, carry, sharded, key):
-    """XLA cost_analysis() of the compiled train step for the current leg."""
+def _step_lower_args(cfg, carry, sharded, key):
+    """Positional args to ``engine._train_step.lower`` for the current leg
+    (shared with tools/bytes_report.py)."""
     if cfg.model in ("mygan", "anogan", "ganomaly"):
         g, d = carry
-        args = ((g, d, sharded, key, True) if cfg.model == "anogan"
+        return ((g, d, sharded, key, True) if cfg.model == "anogan"
                 else (g, d, sharded, key))
-    else:
-        args = (carry[0], sharded, key, True)
+    return (carry[0], sharded, key, True)
+
+
+def _step_cost_analysis(engine, cfg, carry, sharded, key):
+    """XLA cost_analysis() of the compiled train step for the current leg."""
+    args = _step_lower_args(cfg, carry, sharded, key)
     cost = engine._train_step.lower(*args).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]

@@ -82,3 +82,36 @@ def ref_modules():
                                     anogan=ref_anogan)
     finally:
         sys.path.remove(REF)
+
+
+# ---------------------------------------------------------------------------
+# Suite tiering (VERDICT r4 item 1): the full 266-test suite outgrew the
+# 1-core host (>2.5 h, XLA CPU compiles dominate).  Files that build whole
+# engines / run multi-step train loops / import the torch reference are
+# auto-marked ``slow``; `pytest -m "not slow"` is the fast tier that gates
+# every default change, and the FULL suite runs once per round to produce
+# the committed SUITE_RUN.json.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    "test_accum.py", "test_anogan_ganomaly_engines.py",
+    "test_anogan_step_parity.py", "test_autosave.py", "test_cli.py",
+    "test_convergence.py", "test_device_metrics.py",
+    "test_device_synthetic.py", "test_distributed_engine.py",
+    "test_distributed_spec.py", "test_dp_equivalence.py",
+    "test_e2e_numbers_oracle.py", "test_exact_resume.py",
+    "test_flow_scale_invariance.py", "test_gan_engine.py",
+    "test_gan_step_parity.py", "test_infer_cli.py", "test_int8_disc.py",
+    "test_moe_xception.py", "test_models_zoo.py", "test_pipeline.py",
+    "test_pp_xception.py", "test_ref_mode_quirks.py", "test_remat.py",
+    "test_serve.py", "test_sp_generator.py", "test_supervised_configs.py",
+    "test_supervised_engine.py", "test_temporal_parallel.py",
+    "test_torch_export.py", "test_torch_parity.py",
+    "test_train_step_parity.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

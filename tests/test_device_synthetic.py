@@ -73,3 +73,30 @@ def test_trainer_cli_synthetic_mode(tmp_path):
     assert recs and all(np.isfinite(r["loss/err/train"]) for r in recs)
     # the sweep scored a two-class pixel set (not NaN/degenerate)
     assert any(np.isfinite(r.get("score/roc", float("nan"))) for r in recs)
+
+
+def test_thick_masks_survive_opening():
+    """--synthetic_thick_masks: GT is the filled square (not the 1-px
+    boundary ring), so it survives the engines' 5x5 th-plane opening and
+    the scored sweep ROC can move (tools/soak.py --learning)."""
+    import jax.numpy as jnp
+
+    from vfd_gan_tpu.ops.morphology import video_open
+
+    thin = DeviceSyntheticIterator(4, 8, 40, n_batches=1, seed=0)
+    thick = DeviceSyntheticIterator(4, 8, 40, n_batches=1, seed=0,
+                                    thick_masks=True)
+    bt, bk = next(iter(thin)), next(iter(thick))
+    # same clips, fatter GT: thick mask strictly contains the ring
+    np.testing.assert_array_equal(np.asarray(bt["data"]),
+                                  np.asarray(bk["data"]))
+    mt = np.asarray(bt["mask"], np.float32) / 255
+    mk = np.asarray(bk["mask"], np.float32) / 255
+    assert mk.sum() > mt.sum() > 0
+    assert (mk >= mt).all()
+    opened_thick = np.asarray(video_open(jnp.asarray(mk), use_pallas=False))
+    opened_thin = np.asarray(video_open(jnp.asarray(mt), use_pallas=False))
+    assert opened_thick.sum() > 0.5 * mk.sum()   # filled region survives
+    # the 1-px ring is mostly erased (vertical edges of slow squares leave
+    # a small th-plane remnant; horizontal edges and moving parts vanish)
+    assert opened_thin.sum() < 0.3 * mt.sum()

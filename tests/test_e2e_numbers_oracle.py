@@ -64,12 +64,20 @@ def dataset(tmp_path_factory):
                         include_originals=True)
 
 
-def _train_clstm(train_list, steps=40):
+def _train_clstm(train_list, max_steps=160, check_every=10):
     """Briefly overfit our ConvLSTM so scores have real rank structure
     (a random-init model's near-flat sigmoids would make ROC order
     noise-dominated and the oracle flaky).  Positives (1-px Canny edges,
-    ~2% of pixels) are up-weighted so 40 steps suffice to pull them above
-    the background — plain BCE just drives everything to 0."""
+    ~2% of pixels) are up-weighted so a few tens of steps suffice to pull
+    them above the background — plain BCE just drives everything to 0.
+
+    Trains to a *condition*, not a fixed step count (VERDICT r4 item 1):
+    every ``check_every`` steps the eval-mode prediction on the train
+    batch is scored, and training stops once ROC-AUC > 0.75 — so
+    lowering-level numeric drift in any op can shift the training
+    trajectory without landing the oracle on a degenerate sweep."""
+    from sklearn.metrics import roc_auc_score
+
     from vfd_gan_tpu.models.convlstm import ConvLSTMModel
     from vfd_gan_tpu.ops.augment import normalize_clips
     from vfd_gan_tpu.train.state import NetState, make_adam
@@ -83,6 +91,7 @@ def _train_clstm(train_list, steps=40):
     x, _, gt = normalize_clips(jnp.asarray(batch["data"]),
                                jnp.asarray(batch["real"]),
                                jnp.asarray(batch["mask"]))
+    labels = np.asarray(gt, dtype=np.int32).ravel()
 
     model = ConvLSTMModel()
     variables = model.init({"params": jax.random.key(0)}, x, False)
@@ -101,8 +110,17 @@ def _train_clstm(train_list, steps=40):
             state.params)
         return state.apply_grads(tx, grads, stats), loss
 
-    for _ in range(steps):
-        state, _ = step(state)
+    @jax.jit
+    def eval_pred(params, stats):
+        return model.apply({"params": params, "batch_stats": stats},
+                           x, False)
+
+    for _ in range(max_steps // check_every):
+        for _ in range(check_every):
+            state, _ = step(state)
+        pred = np.asarray(eval_pred(state.params, state.batch_stats))
+        if pred.std() > 1e-3 and roc_auc_score(labels, pred.ravel()) > 0.75:
+            break
     return {"params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats)}
 
@@ -250,7 +268,7 @@ def test_eval_numbers_match_reference(ref_modules, dataset, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _train_generator(train_list, steps=40):
+def _train_generator(train_list, max_cycles=40, check_every=5):
     """Standalone overfit of the (full-width) MyGAN generator — the scored
     path depends on G alone.  The target is the gt edge DILATED 7x7: the
     scored m_pre is a 5x5 morphological OPENING of the binarised mask, and
@@ -258,18 +276,38 @@ def _train_generator(train_list, steps=40):
     1-px Canny edges predicts thin lines that open to all-zero on BOTH
     sides (a trivially-"matching" degenerate sweep).  Thick-ring targets
     give predictions that survive opening, so the metric parity is
-    meaningful."""
+    meaningful.
+
+    Trains to a *condition*, not a fixed step count (VERDICT r4 item 1:
+    the old fixed 40 steps sat on the binarisation cliff — any
+    lowering-level f32 drift could land the 0.5-threshold + 5x5 opening
+    on all-zero masks and a degenerate "matching" sweep).  It cycles over
+    EVERY window of the eval list (the sweep's exact clip set) and, every
+    ``check_every`` cycles, scores the eval-mode opened binary predictions
+    over the whole set against the raw Canny labels; training stops once
+    the opened masks are non-trivial (coverage in (1e-4, 0.5)) and
+    rank-structured sweep-wide (ROC-AUC > 0.75) — i.e. once the exact
+    quantity the sweep's non-degeneracy guards assert is safely met."""
+    from sklearn.metrics import roc_auc_score
+
     from vfd_gan_tpu.models.mygan import Generator
     from vfd_gan_tpu.ops.augment import normalize_clips
+    from vfd_gan_tpu.ops.morphology import video_open
     from vfd_gan_tpu.train.state import NetState, make_adam
 
     ds = MdfVideoDataset(train_list, NFR, staging=ISIZE)
-    batch = next(iter(ClipBatchIterator(ds, BATCH, seed=0)))
-    x, _, gt = normalize_clips(jnp.asarray(batch["data"]),
-                               jnp.asarray(batch["real"]),
-                               jnp.asarray(batch["mask"]))
-    gt = jax.lax.reduce_window(gt, -jnp.inf, jax.lax.max,
-                               (1, 1, 7, 7, 1), (1, 1, 1, 1, 1), "SAME")
+    xs, gts = [], []
+    labels = []
+    for batch in ClipBatchIterator(ds, BATCH, shuffle=False):
+        x, _, gt_edges = normalize_clips(jnp.asarray(batch["data"]),
+                                         jnp.asarray(batch["real"]),
+                                         jnp.asarray(batch["mask"]))
+        xs.append(x)
+        labels.append(np.asarray(gt_edges, dtype=np.int32).ravel())
+        gts.append(jax.lax.reduce_window(
+            gt_edges, -jnp.inf, jax.lax.max,
+            (1, 1, 7, 7, 1), (1, 1, 1, 1, 1), "SAME"))
+    labels = np.concatenate(labels)
 
     # positives up-weighted (the reference's weighted_bce quirk weights the
     # NEGATIVE term, which would drive every sigmoid below the 0.5
@@ -285,7 +323,7 @@ def _train_generator(train_list, steps=40):
     state = NetState.create(variables, tx)
 
     @jax.jit
-    def step(state, key):
+    def step(state, x, gt, key):
         def f(params):
             pred, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -296,10 +334,26 @@ def _train_generator(train_list, steps=40):
             state.params)
         return state.apply_grads(tx, grads, stats), loss
 
+    @jax.jit
+    def opened_eval(params, stats, x):
+        # eval-mode forward -> 0.5 binarise -> the engine's th-plane 5x5
+        # opening: the exact quantity the in-training sweep scores
+        pred = model.apply({"params": params, "batch_stats": stats}, x, False)
+        return video_open((pred > 0.5).astype(jnp.float32), use_pallas=False)
+
     key = jax.random.key(2)
-    for _ in range(steps):
-        key, k = jax.random.split(key)
-        state, loss = step(state, k)
+    loss = jnp.inf
+    for _ in range(max_cycles // check_every):
+        for _ in range(check_every):
+            for x, gt in zip(xs, gts):
+                key, k = jax.random.split(key)
+                state, loss = step(state, x, gt, k)
+        opened = np.concatenate([
+            np.asarray(opened_eval(state.params, state.batch_stats,
+                                   x)).ravel() for x in xs])
+        frac = opened.mean()
+        if 1e-4 < frac < 0.5 and roc_auc_score(labels, opened) > 0.75:
+            break
     return {"params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats)}, float(loss)
 

@@ -110,6 +110,13 @@ def _fields(buf):
             raise ValueError(f"wire type {wt}")
 
 
+def op_times(out: str, line_filter: str = "XLA Ops"):
+    """{op_name: total_ms} over all traced steps (see summarize docstring
+    for the wire-format layout)."""
+    total, _count = _aggregate(out, line_filter)
+    return dict(total)
+
+
 def summarize(out: str, top: int, steps: int, line_filter: str = "XLA Ops"):
     """Aggregate XLA op self-times from the xplane proto.
 
@@ -118,12 +125,24 @@ def summarize(out: str, top: int, steps: int, line_filter: str = "XLA Ops"):
     XLine{name=2, events=4}; XEvent{metadata_id=1, duration_ps=3};
     map entry{key=1, value=2}; XEventMetadata{id=1, name=2}.
     """
+    total, count = _aggregate(out, line_filter)
+    if total is None:
+        print("no xplane.pb found; inspect the trace dir manually")
+        return
+    print(f"\ntop {top} '{line_filter}' ops by total device time "
+          f"({steps} steps):")
+    for nm, ms in total.most_common(top):
+        print(f"{ms / steps:9.3f} ms/step x{count[nm] // steps:<4d} {nm[:100]}")
+    print(f"total: {sum(total.values()) / steps:.1f} ms/step over "
+          f"{sum(count.values())} events")
+
+
+def _aggregate(out: str, line_filter: str = "XLA Ops"):
     import collections
 
     paths = glob.glob(os.path.join(out, "**", "*.xplane.pb"), recursive=True)
     if not paths:
-        print("no xplane.pb found; inspect the trace dir manually")
-        return
+        return None, None
     data = open(paths[0], "rb").read()
     total = collections.Counter()
     count = collections.Counter()
@@ -173,12 +192,7 @@ def summarize(out: str, top: int, steps: int, line_filter: str = "XLA Ops"):
                         dur = v4
                 total[meta.get(mid, str(mid))] += dur / 1e9   # ps -> ms
                 count[meta.get(mid, str(mid))] += 1
-    print(f"\ntop {top} '{line_filter}' ops by total device time "
-          f"({steps} steps):")
-    for nm, ms in total.most_common(top):
-        print(f"{ms / steps:9.3f} ms/step x{count[nm] // steps:<4d} {nm[:100]}")
-    print(f"total: {sum(total.values()) / steps:.1f} ms/step over "
-          f"{sum(count.values())} events")
+    return total, count
 
 
 if __name__ == "__main__":

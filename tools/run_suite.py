@@ -27,7 +27,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main(argv: list[str]) -> int:
     xml_path = os.path.join(tempfile.mkdtemp(prefix="suite_"), "junit.xml")
     # default target tests/ only when the caller gives no path of its own
-    paths = [] if any(not a.startswith("-") for a in argv) else ["tests/"]
+    # (an existing file/dir — option values like `-k expr` are not paths)
+    paths = ([] if any(os.path.exists(a) for a in argv if not a.startswith("-"))
+             else ["tests/"])
     cmd = [sys.executable, "-m", "pytest", *paths, "-q",
            f"--junitxml={xml_path}"] + argv
     t0 = time.time()

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import hmac
 import json
 import os
 import queue
@@ -312,7 +313,9 @@ def make_handler(server: InferenceServer, video_root: str = "",
             if not auth_token:
                 return True
             got = self.headers.get("Authorization", "")
-            return got == f"Bearer {auth_token}"
+            # constant-time compare: plain == leaks a timing side channel
+            return hmac.compare_digest(got.encode(),
+                                       f"Bearer {auth_token}".encode())
 
         def do_GET(self):
             if self.path.startswith("/healthz"):

@@ -25,10 +25,12 @@ def build_iterators(cfg: Config):
         from vfd_gan_tpu.data.device_synthetic import DeviceSyntheticIterator
         return (DeviceSyntheticIterator(
                     cfg.batchsize, cfg.nfr, staging_size(cfg.isize),
-                    n_batches=cfg.synthetic_data, seed=cfg.seed),
+                    n_batches=cfg.synthetic_data, seed=cfg.seed,
+                    thick_masks=cfg.synthetic_thick_masks),
                 DeviceSyntheticIterator(
                     cfg.batchsize, cfg.nfr, cfg.isize,
-                    n_batches=cfg.synthetic_test_batches, seed=cfg.seed + 1))
+                    n_batches=cfg.synthetic_test_batches, seed=cfg.seed + 1,
+                    thick_masks=cfg.synthetic_thick_masks))
     train_ds = MdfVideoDataset(cfg.tr_plist, cfg.nfr,
                                staging=staging_size(cfg.isize))
     test_ds = MdfVideoDataset(cfg.ts_plist, cfg.nfr, staging=cfg.isize)

@@ -163,6 +163,11 @@ class Config:
     # Rematerialise generator conv blocks in backward (memory for FLOPs;
     # enables long-clip / large-batch configurations).
     remat: bool = False
+    # With --remat: comma-separated block names to rematerialise (empty =
+    # all).  "dconv1,uconv1" = only the two full-resolution U-Net levels,
+    # whose saved residuals dominate backward HBM reads (the selective
+    # bytes-for-flops trade; measured A/Bs in BENCH_NOTES.md round 5).
+    remat_blocks: str = ""
     # Cache the gt-mask flow videos across periodic test sweeps (the gt
     # masks are static per clip; recomputing their Farneback flow every
     # sweep is pure waste).  Costs device memory: ~3 MB f32 per test clip
@@ -207,6 +212,11 @@ class Config:
     # Test-split batches per sweep in synthetic mode (kept small: the sweep
     # fetches gt/pred to host for ROC scoring).
     synthetic_test_batches: int = 2
+    # Synthetic GT = the filled forged square instead of its boundary ring.
+    # The opened-binary scoring erases 1-px rings (sweep ROC pinned at 0.5
+    # by construction); filled regions survive the 5x5 opening so the
+    # scored ROC can demonstrate learning (tools/soak.py --learning).
+    synthetic_thick_masks: bool = False
 
     def validate(self) -> "Config":
         if self.model not in MODELS:

@@ -29,13 +29,23 @@ class DeviceSyntheticIterator:
     in {0,255}, ``label`` (B,T) f32, plus host-side ``index`` ids."""
 
     def __init__(self, batch_size: int, nfr: int, size: int,
-                 n_batches: int, seed: int = 0, p_fake: float = 0.5):
+                 n_batches: int, seed: int = 0, p_fake: float = 0.5,
+                 thick_masks: bool = False):
         self.batch_size = batch_size
         self.nfr = nfr
         self.size = size
         self.n_batches = n_batches
         self.seed = seed
         self.p_fake = p_fake
+        # thick_masks: GT is the FILLED forged square instead of its Canny
+        # boundary ring.  The engines score morphology-OPENED binary masks
+        # (reference models/mygannet.py:395-399): a 1-px ring opens to
+        # all-zero, pinning sweep ROC at 0.5 by construction — so the
+        # default-mask soak guards only loss trajectories.  Filled-region
+        # GT survives the 5x5 opening, letting the scored ROC move and the
+        # soak demonstrate end-to-end *learning* on hardware
+        # (tools/soak.py --learning).
+        self.thick_masks = thick_masks
         self.epoch = 0
         self.skip_batches = 0
         self._gen = None        # jit-compiled lazily (first iteration)
@@ -90,7 +100,8 @@ class DeviceSyntheticIterator:
             is_fake = (jax.random.uniform(klab, (b,)) < p_fake)
             sel = is_fake[:, None, None, None, None]
             data = jnp.where(sel, fake, bg)
-            mask = jnp.where(sel, edge[..., None], False)
+            gt = sq if self.thick_masks else edge
+            mask = jnp.where(sel, gt[..., None], False)
             return {
                 "data": jnp.clip(data, 0, 255).astype(jnp.uint8),
                 "real": jnp.clip(bg, 0, 255).astype(jnp.uint8),

@@ -49,6 +49,12 @@ class Generator(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
     remat: bool = False
+    # With remat=True: rematerialise only these block names (empty = all).
+    # ("dconv1", "uconv1") = the two FULL-RESOLUTION levels whose saved
+    # residuals dominate backward HBM reads — the selective
+    # bytes-for-flops trade for the bandwidth-bound step (VERDICT r4
+    # item 2; measured legs in BENCH_NOTES.md round 5).
+    remat_blocks: tuple = ()
     # Reference fixes decoder Dropout at 0.25 (models/mygannet.py:75-99);
     # exposed so deterministic parity tests can zero it.
     drop_rate: float = 0.25
@@ -56,10 +62,14 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # static_argnums: (self, x, train) -> `train` must stay a python bool
-        block_cls = (nn.remat(GenConvBlock, static_argnums=(2,))
-                     if self.remat else GenConvBlock)
-        blk = lambda f, name: block_cls(f, dtype=self.dtype,
-                                        axis_name=self.axis_name, name=name)
+        remat_cls = nn.remat(GenConvBlock, static_argnums=(2,))
+
+        def blk(f, name):
+            use = self.remat and (not self.remat_blocks
+                                  or name in self.remat_blocks)
+            cls = remat_cls if use else GenConvBlock
+            return cls(f, dtype=self.dtype, axis_name=self.axis_name,
+                       name=name)
         drop = nn.Dropout(rate=self.drop_rate, deterministic=not train)
         g = self.ngf
 

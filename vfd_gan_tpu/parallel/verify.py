@@ -65,6 +65,10 @@ def assert_replica_equivalence(replica, yardstick, candidate,
     assert set(rm) == set(cm) == set(ym)
     for k, v in rm.items():
         assert np.isfinite(v) and np.isfinite(cm[k]), (label, k)
+    # a candidate/yardstick missing trailing state leaves must fail the
+    # gate, not silently shorten the elementwise zip below
+    assert len(rl) == len(cl) == len(yl), \
+        (label, "leaf count", len(rl), len(cl), len(yl))
     rtol, atol = calibrated_tols(max_rel_delta(rm, ym),
                                  max_abs_delta(rl, yl))
     for k in rm:

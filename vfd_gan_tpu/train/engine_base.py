@@ -323,6 +323,14 @@ class EngineBase:
         import jax.numpy as jnp
 
         from vfd_gan_tpu.eval.device_metrics import score_sweep
+        # stacking requires uniform batch shapes (drop_last=True contract);
+        # fail loudly rather than crash deep inside jnp.stack if a future
+        # iterator yields a ragged final batch
+        shapes = {np.shape(g) for g in gts} | {np.shape(p) for p in predicts}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"--device_scoring needs uniform per-batch shapes "
+                f"(drop_last iterator); got {sorted(shapes)}")
         roc_v, eer_v, pr_v, f1_v = score_sweep(jnp.stack(gts),
                                                jnp.stack(predicts))
         roc, pr, f1 = float(roc_v), float(pr_v), float(f1_v)

@@ -57,7 +57,9 @@ class MyGanEngine(EngineBase):
             print("\n --Using C2plus1d AutoEncoder as G-- ")
             self.netg = AutoEncoder(dtype=dtype)
         else:
-            self.netg = Generator(ngf=cfg.ngf, dtype=dtype, remat=cfg.remat)
+            rblocks = tuple(b for b in cfg.remat_blocks.split(",") if b)
+            self.netg = Generator(ngf=cfg.ngf, dtype=dtype, remat=cfg.remat,
+                                  remat_blocks=rblocks)
         self.netd = DualDisc(ndf=cfg.ndf, dtype=dtype,
                              quant=cfg.int8_disc)
         self.tx_g = make_adam(cfg.lr, cfg.beta1)
