@@ -290,3 +290,19 @@ def test_r2plus1d_mid_channels_formula():
     # (models/spatiotempconv.py:44-45)
     assert r2plus1d_mid_channels(3, 3, 3, 3, 32) == (3 * 3 * 3 * 3 * 32) // (3 * 3 * 3 + 3 * 32)
     assert r2plus1d_mid_channels(3, 3, 3, 32, 64) == (3 * 3 * 3 * 32 * 64) // (3 * 3 * 32 + 3 * 64)
+
+
+def test_tc_family_force_emitter(monkeypatch):
+    """The per-family lowering override (round-5 A/B: c2plus1d fastest
+    all-emitter): TC_FORCE_EMITTER wins over the width rule, env knobs
+    win over it, and engine construction (re)sets it per family."""
+    import os
+
+    from vfd_gan_tpu.ops import convs
+    monkeypatch.delitem(os.environ, "VFD_TC_XLA", raising=False)
+    monkeypatch.setattr(convs, "TC_FORCE_EMITTER", None)
+    assert convs._tc_use_emitter(8) is False          # width rule
+    monkeypatch.setattr(convs, "TC_FORCE_EMITTER", True)
+    assert convs._tc_use_emitter(8) is True           # family override
+    monkeypatch.setitem(os.environ, "VFD_TC_XLA", "0")
+    assert convs._tc_use_emitter(8) is False          # env audit knob wins

@@ -67,13 +67,15 @@ def shape_bytes(spec: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^=]*?\)|[a-z0-9]+\[[0-9,]*\]"
-    r"(?:\{[^}]*\})?)\s*([\w\-]+)\((.*)$")
+_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
+# the opcode is the first lowercase word directly followed by '(' after the
+# shape spec; layout/tiling annotations (T(8,128), S(1), (2,1)) never match
+# because they are uppercase or paren-led
+_OPCODE_RE = re.compile(r"\s([a-z][a-z0-9\-]*)\(")
 
 
 def parse_entry(hlo_text: str):
-    """Yield (name, shape_spec, opcode, operand_names) for every top-level
+    """Yield (name, shape_spec, opcode, rest) for every top-level
     instruction in the ENTRY computation of post-optimization HLO text."""
     lines = hlo_text.splitlines()
     in_entry = False
@@ -88,30 +90,36 @@ def parse_entry(hlo_text: str):
         depth += ln.count("{") - ln.count("}")
         if depth <= 0:
             break
-        m = _INSTR_RE.match(ln)
+        m = _NAME_RE.match(ln)
         if not m:
             continue
-        name, shape, opcode, rest = m.groups()
-        # operand list = %refs up to the closing paren of the op call;
-        # kwargs like calls=%fused_computation.1 come after and must not
-        # count (computations are not data operands)
-        call = rest.split("),", 1)[0]
-        operands = re.findall(r"%([\w.\-]+)", call)
-        yield name, shape, opcode, operands
+        name = m.group(1)
+        after = ln[m.end():]
+        om = _OPCODE_RE.search(" " + after)
+        if not om:
+            continue
+        shape = after[:om.start()]          # everything before the opcode
+        opcode = om.group(1)
+        rest = after[om.end():]
+        yield name, shape, opcode, rest
 
 
 def build_table(hlo_text: str):
-    """Per-instruction modelled HBM bytes for the entry computation."""
+    """Per-instruction modelled HBM bytes for the entry computation.
+
+    Operand resolution is two-pass: %refs in an instruction's tail are
+    counted as data operands only when they name another entry-computation
+    instruction (refs to fused computations / regions resolve to nothing)."""
     instrs = list(parse_entry(hlo_text))
     out_bytes = {name: shape_bytes(shape) for name, shape, _, _ in instrs}
-    opcode_of = {name: op for name, _, op, _ in instrs}
     rows = []
-    for name, shape, opcode, operands in instrs:
+    for name, shape, opcode, rest in instrs:
         if opcode in _FREE_OPS:
             continue
         write = out_bytes.get(name, 0)
-        read = sum(out_bytes.get(o, 0) for o in operands
-                   if opcode_of.get(o) != "constant" or True)
+        read = sum(out_bytes.get(o, 0)
+                   for o in re.findall(r"%([\w.\-]+)", rest)
+                   if o in out_bytes)
         rows.append({"name": name, "op": opcode, "read": read,
                      "write": write, "bytes": read + write})
     rows.sort(key=lambda r: -r["bytes"])
@@ -265,9 +273,11 @@ def trace_join(args, step, carry, batch, rows, total_bytes):
     joined = []
     for name, ms in times.items():
         ms /= args.steps
-        r = by_name.get(name.lstrip("%"))
+        # trace event names can be the full HLO line: '%fusion.1 = ...'
+        short = name.split(" = ")[0].strip().lstrip("%")
+        r = by_name.get(short)
         gbps = (r["bytes"] / 1e9) / (ms / 1e3) if r and ms > 0 else None
-        joined.append((ms, name, r["bytes"] / 1e9 if r else None, gbps))
+        joined.append((ms, short, r["bytes"] / 1e9 if r else None, gbps))
     joined.sort(reverse=True)
     for ms, name, gb, gbps in joined[:args.top]:
         gb_s = f"{gb:7.3f} GB" if gb is not None else "     (n/a)"

@@ -94,6 +94,15 @@ def temporal_conv(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
     return y.reshape(b, y.shape[1], h, w, -1)
 
 
+# Per-family override, set by an engine before its step traces (None =
+# width rule).  The round-5 clean-chip interleaved A/B settled c2plus1d:
+# all-emitter 57.2-57.3 vs auto 55.2 vs MIN_CIN=64 55.8 clips/s — the
+# family's GEMM legs lose even at its narrow widths, so SupervisedEngine
+# forces the emitter for model=c2plus1d (BENCH_NOTES round 5).  The env
+# knobs still override for audits.
+TC_FORCE_EMITTER: bool | None = None
+
+
 def _tc_use_emitter(cin: int) -> bool:
     """Stride-1 lowering choice (read at trace time): shifted channel GEMMs
     for narrow inputs, XLA's conv emitter for wide ones.
@@ -106,13 +115,15 @@ def _tc_use_emitter(cin: int) -> bool:
     — the GEMM path's layout copies around >=128-channel operands cost
     more than the emitter's windowing).  ``VFD_TC_XLA=1`` forces the
     emitter everywhere, ``=0`` the GEMMs everywhere (the old behaviours);
-    default is the width rule with the boundary at
-    ``VFD_TC_EMITTER_MIN_CIN`` (128)."""
+    default is ``TC_FORCE_EMITTER`` (family override) then the width rule
+    with the boundary at ``VFD_TC_EMITTER_MIN_CIN`` (128)."""
     force = os.environ.get("VFD_TC_XLA", "")
     if force == "1":
         return True
     if force == "0":
         return False
+    if TC_FORCE_EMITTER is not None:
+        return TC_FORCE_EMITTER
     return cin >= int(os.environ.get("VFD_TC_EMITTER_MIN_CIN", "128"))
 
 

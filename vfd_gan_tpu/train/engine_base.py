@@ -67,6 +67,14 @@ class EngineBase:
         self.cfg = cfg
         self.train_iter = train_iter
         self.test_iter = test_iter
+        # Per-family temporal-conv lowering override (round-5 clean-chip
+        # A/B, BENCH_NOTES: c2plus1d is fastest all-emitter, 57.2 vs
+        # width-rule 55.2 clips/s/chip; other families keep the width
+        # rule).  (Re)set on every engine construction so one process can
+        # build engines of different families without leakage; env
+        # VFD_TC_XLA still overrides for audits.
+        from vfd_gan_tpu.ops import convs
+        convs.TC_FORCE_EMITTER = True if cfg.model == "c2plus1d" else None
         sp = getattr(cfg, "sp", 1)
         tp = getattr(cfg, "tp", 1)
         pp = getattr(cfg, "pp", 1)
