@@ -145,6 +145,50 @@ def test_conv3d_tap_gemm_grads_match_torch():
         np.transpose(wt.grad.numpy(), (2, 3, 4, 1, 0)), atol=1e-4)
 
 
+@pytest.mark.parametrize("cout,pad", [(8, 1), (5, 0)])
+def test_conv3d_factored_path_matches_torch(cout, pad):
+    """Stride-1 full 3-D convs route through ops/convs._factored_conv3d on
+    TPU backends (kt frame-shifted spatial 2-D convs, f32 tap accumulate);
+    values must match ``nn.Conv3d``.  Tested directly — dispatch is
+    TPU-only."""
+    from vfd_gan_tpu.ops.convs import _factored_conv3d
+
+    x = _video()
+    w = rng.normal(size=(3, 3, 3, CIN, cout)).astype(np.float32) * 0.1
+    got = np.asarray(_factored_conv3d(
+        jnp.asarray(x), jnp.asarray(w), [(pad, pad)] * 3))
+    want = _torch_conv3d(x, w, padding=(pad, pad, pad))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv3d_factored_grads_match_torch():
+    import jax
+
+    from vfd_gan_tpu.ops.convs import _factored_conv3d
+
+    x = _video()
+    w = rng.normal(size=(3, 3, 3, CIN, 8)).astype(np.float32) * 0.1
+    cot = rng.normal(size=(B, T, H, W, 8)).astype(np.float32)
+
+    def loss(xj, wj):
+        return jnp.sum(_factored_conv3d(xj, wj, [(1, 1)] * 3)
+                       * jnp.asarray(cot))
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).requires_grad_()
+    wt = torch.from_numpy(
+        np.transpose(w, (4, 3, 0, 1, 2))).requires_grad_()
+    y = F.conv3d(xt, wt, padding=1)
+    y.backward(torch.from_numpy(np.transpose(cot, (0, 4, 1, 2, 3))))
+    np.testing.assert_allclose(
+        np.asarray(dx), np.transpose(xt.grad.numpy(), (0, 2, 3, 4, 1)),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dw),
+        np.transpose(wt.grad.numpy(), (2, 3, 4, 1, 0)), atol=1e-4)
+
+
 def test_conv3d_transpose_matches_torch():
     # AnoGAN uses ConvTranspose3d(k=3, stride=2, pad=1, out_pad=1)
     # (anogan.py:51-69)

@@ -243,16 +243,95 @@ def conv3d(x: jnp.ndarray, kernel: jnp.ndarray, *,
     # TPU-only: on CPU the 27-slice tap sum is ~1000x off (single-core
     # memcpy loops), and the XLA conv emitter there is fine.
     # VFD_HEAD_TAP_GEMM=0 falls back to the XLA emitter (A/B escape hatch).
+    # Tap-GEMM is a HEAD-conv optimisation (Cout of 1-4 leaves the conv
+    # emitter's lane dim near-empty); it needs Cout < Cin to pay for its
+    # taps*Cout intermediate.  AnoGAN's square 3->3 generator head went
+    # through it and spent 7 ms/step in the backward pad-add over the
+    # 81-channel full-res P tensor (round-5 trace) — square tiny convs
+    # take the factored spatial path instead.
     if stride == (1, 1, 1) and kt * kh * kw * cout <= 128 \
+            and cout < x.shape[-1] \
             and jax.default_backend() == "tpu" \
             and os.environ.get("VFD_HEAD_TAP_GEMM", "1") != "0":
         return _tap_gemm_conv3d(x, kernel, padding)
+    # Factored lowering pays only for kernels with BOTH temporal and
+    # spatial extent (the full 3x3x3 case) at NARROW input widths — the
+    # same width-dependence as the temporal convs (_tc_use_emitter):
+    # * pointwise 1x1x1 convs (c2plus1d residual/fuse projections) are
+    #   pure GEMMs the emitter already handles — factoring them cost 21%
+    #   (58.5 -> 46.4 clips/s, bytes 71.8 -> 104.2 GB: the f32 tap
+    #   partial un-fuses a single-tap conv; round-5 interleaved A/B);
+    # * wide (>=128 cin) 3-D convs (c2plus1d fuse convs) keep the
+    #   emitter (49.3 vs 58.5 all-factored, round-5 A/B);
+    # * narrow full-res 3-D convs (AnoGAN's D) win big factored — the
+    #   3-D emitter picks batch-in-sublanes layouts that crawl at
+    #   10-25% of peak and poison every surrounding band (round-5
+    #   trace, BENCH_NOTES).
+    if stride == (1, 1, 1) and kt >= 2 and kh * kw > 1 \
+            and x.shape[-1] < int(os.environ.get(
+                "VFD_C3D_FACTORED_MAX_CIN", "128")) \
+            and jax.default_backend() == "tpu" \
+            and os.environ.get("VFD_C3D_FACTORED", "1") != "0":
+        return _factored_conv3d(x, kernel, padding)
     return lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+
+
+def _factored_conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
+                     padding) -> jnp.ndarray:
+    """Full ``(kt,kh,kw)`` conv as ``kt`` frame-shifted SPATIAL 2-D convs.
+
+    AnoGAN is built from genuine 3x3x3 convs at full resolution
+    (reference models/anogan.py:84-105) and XLA's native 3-D conv emitter
+    is this repo's one bad conv path: the round-5 b8 device trace showed
+    D's full-res 64-ch convs at 10-25% of bf16 peak
+    (EmitOutputBatchInSublanes, fusion.97 et al. at 4.9-9.7 ms each) and
+    every surrounding BN/elementwise band crawling at 28-110 GB/s on the
+    emitter's batch-in-sublanes layouts.  Splitting the temporal taps —
+
+        y[:, t] = sum_dt  conv2d(x[:, t+dt-pad], k[dt])   over (B*T,H,W,C)
+
+    — moves the identical flops onto the measured 2-D spatial-conv path
+    (48-79% of peak on all model shapes, BENCH_NOTES round 3) and gives
+    activations the plain channel-minor layouts the rest of the framework
+    is fast on.  Tap terms accumulate in f32 (same trade as the temporal
+    convs).  Gradients flow through autodiff: each slice's cotangent is a
+    pad-then-add (fuses, per the round-3 custom-VJP A/B) and the spatial
+    conv transposes stay on the 2-D path.  ``VFD_C3D_FACTORED=0`` falls
+    back to the XLA 3-D emitter for A/Bs.
+    """
+    b, t, h, w, c = x.shape
+    kt = kernel.shape[0]
+    (p0, p1) = padding[0]
+    xp = jnp.pad(x, ((0, 0), (p0, p1), (0, 0), (0, 0), (0, 0)))
+    tout = t + p0 + p1 - kt + 1
+    # Experiment knob: accumulate tap partials in the model dtype instead
+    # of f32 (halves partial-tensor traffic at a 2-tap extra bf16
+    # rounding).  Measured on the anogan step before defaulting.
+    acc_t = x.dtype if os.environ.get("VFD_C3D_ACC_BF16", "0") == "1" \
+        else jnp.float32
+    acc = None
+    for dt in range(kt):
+        sl = xp[:, dt:dt + tout].reshape(b * tout, h, w, c)
+        # No preferred_element_type: a widened f32 output would hand the
+        # autodiff transpose an f32 cotangent against the bf16 kernel
+        # (conv_general_dilated requires matching dtypes).  The conv's
+        # internal accumulation is f32 on TPU regardless; the tap SUM is
+        # carried in f32 below (one bf16 rounding per tap, same trade as
+        # the temporal convs).
+        term = lax.conv_general_dilated(
+            sl, kernel[dt].astype(x.dtype),
+            window_strides=(1, 1),
+            padding=list(padding[1:]),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(acc_t)
+        acc = term if acc is None else acc + term
+    return acc.astype(x.dtype).reshape(b, tout, acc.shape[1], acc.shape[2],
+                                       kernel.shape[-1])
 
 
 def _tap_gemm_conv3d(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -342,7 +421,11 @@ def avg_pool3d(x: jnp.ndarray, window: tuple[int, int, int],
         # reduce_window only on TPU (dedicated pooling emitter keeps the
         # conv layout); CPU XLA lowers reduce_window to a naive window
         # loop that is far slower than the reshape-mean.
-        if jax.default_backend() == "tpu":
+        # VFD_POOL_RESHAPE=1 forces the reshape-mean even on TPU (A/B
+        # knob: the pooling-emitter choice was measured on mygan's
+        # layouts; anogan's factored-conv layouts may differ).
+        if jax.default_backend() == "tpu" \
+                and os.environ.get("VFD_POOL_RESHAPE", "0") != "1":
             return _block_avg_pool(x, window)
         wt, wh, ww = window
         y = x.reshape(b, t // wt, wt, h // wh, wh, w // ww, ww, c)
