@@ -45,6 +45,7 @@ DTYPE_BYTES = {
 }
 
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+_SHAPE_LAYOUT_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\](\{[^{}]*\})?")
 
 # ops that move no data themselves at the instruction boundary
 _FREE_OPS = {"parameter", "constant", "tuple", "get-tuple-element",
@@ -58,6 +59,28 @@ def shape_bytes(spec: str) -> int:
     total = 0
     for dtype, dims in _SHAPE_RE.findall(spec):
         if dtype not in DTYPE_BYTES:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * DTYPE_BYTES[dtype]
+    return total
+
+
+def shape_hbm_bytes(spec: str) -> int:
+    """Like shape_bytes, but counts only subshapes that live in the
+    DEFAULT memory space.  Post-optimization layouts carry ``S(n)``
+    space annotations — ``S(1)`` buffers are VMEM/scoped (ConvLSTM's
+    whole scan stack lives there; the HBM side of each transfer is
+    charged at its async copy-start instead), and host-space buffers
+    move over PCIe, not HBM.  Charging S(1) outputs as HBM writes made
+    the clstm measured-time MBU read an impossible 1.3-1.6."""
+    total = 0
+    for dtype, dims, layout in _SHAPE_LAYOUT_RE.findall(spec):
+        if dtype not in DTYPE_BYTES:
+            continue
+        if layout and re.search(r"S\(\d+\)", layout):
             continue
         n = 1
         if dims:
@@ -98,10 +121,110 @@ def parse_entry(hlo_text: str):
         om = _OPCODE_RE.search(" " + after)
         if not om:
             continue
+        # om indexes into " " + after: subtract the sentinel space so the
+        # slice starts right after "(" (off-by-one here ate the leading
+        # "%" of every instruction's FIRST operand and silently dropped
+        # it from the read model — found round 5 via the clstm slice
+        # audit; mygan's modelled total moved 84.95 -> see BENCH_NOTES).
         shape = after[:om.start()]          # everything before the opcode
         opcode = om.group(1)
-        rest = after[om.end():]
+        rest = after[om.end() - 1:]
         yield name, shape, opcode, rest
+
+
+_COMP_HEAD_RE = re.compile(r"^%([\w.\-]+) \(")
+_PARAM_RE = re.compile(r"^\s*%?([\w.\-]+)\s*=\s*(.*?)\sparameter\((\d+)\)")
+
+
+def _fusion_param_reads(hlo_text: str):
+    """Per-computation, per-parameter-index HBM read extents.
+
+    A fusion operand is NOT fully read when the fused computation only
+    slices it: ConvLSTM's unrolled per-timestep fusions each take the
+    whole (B,T,H,W,C) video as an operand but slice ONE frame inside —
+    charging the full operand 16x overcounted the family's traffic by
+    >2x (measured-time MBU read an impossible 1.34).  For a parameter
+    whose every use is a ``slice``/``dynamic-slice``, charge the sum of
+    the slice outputs (each materialised read is real traffic), capped
+    at the full operand size; any other use charges the full operand.
+
+    A fusion whose ROOT is a ``dynamic-update-slice`` of a parameter
+    (resolved through bitcasts) writes only the update region — XLA
+    aliases the target buffer in place — and never reads the target's
+    full extent; charging a full write overcounted ConvLSTM's 15
+    scan-stack DUS fusions by ~0.5 GB each.
+
+    Returns {computation_name: ({param_index: read_bytes},
+    dus_info|None)} where dus_info = (target_param_index, update_bytes);
+    the read dict contains only parameters with a reduced extent.
+    """
+    comps: dict[str, tuple[dict[int, int], tuple[int, int] | None]] = {}
+    cur = None          # (comp_name, {param_name: (idx, full_bytes)})
+    param_uses: dict[str, list[tuple[str, int]]] = {}
+    alias: dict[str, str] = {}      # bitcast/reshape name -> source name
+    out_sizes: dict[str, int] = {}
+    root: tuple[str, list[str], int] | None = None
+    lines = hlo_text.splitlines()
+    for ln in lines:
+        m = _COMP_HEAD_RE.match(ln)
+        if m and not ln.startswith("ENTRY"):
+            cur = (m.group(1), {})
+            param_uses, alias, out_sizes, root = {}, {}, {}, None
+            continue
+        if cur is None:
+            continue
+        if ln.startswith("}") or ln.strip() == "}":
+            reduced = {}
+            for pname, (idx, full) in cur[1].items():
+                uses = param_uses.get(pname, [])
+                if uses and all(op in ("slice", "dynamic-slice")
+                                for op, _ in uses):
+                    reduced[idx] = min(sum(b for _, b in uses), full)
+            dus = None
+            if root and root[0] == "dynamic-update-slice" and root[1]:
+                tgt = root[1][0]
+                while tgt in alias:
+                    tgt = alias[tgt]
+                if tgt in cur[1]:
+                    upd = (out_sizes.get(root[1][1], 0)
+                           if len(root[1]) > 1 else 0)
+                    # the in-place target is neither fully read nor
+                    # fully written; the update operand itself is still
+                    # charged as a normal read
+                    dus = (cur[1][tgt][0], upd)
+            if reduced or dus:
+                comps[cur[0]] = (reduced, dus)
+            cur = None
+            continue
+        pm = _PARAM_RE.match(ln)
+        if pm:
+            cur[1][pm.group(1)] = (int(pm.group(3)),
+                                   shape_bytes(pm.group(2)))
+            out_sizes[pm.group(1)] = shape_bytes(pm.group(2))
+            continue
+        nm = _NAME_RE.match(ln)
+        if not nm:
+            continue
+        name = nm.group(1)
+        after = ln[nm.end():]
+        om = _OPCODE_RE.search(" " + after)
+        if not om:
+            continue
+        out_b = shape_bytes(after[:om.start()])
+        opcode = om.group(1)
+        out_sizes[name] = out_b
+        refs = re.findall(r"%([\w.\-]+)", after[om.end() - 1:])
+        if opcode in ("bitcast", "reshape", "copy") and refs:
+            alias[name] = refs[0]
+        for ref in refs:
+            if ref in cur[1]:
+                param_uses.setdefault(ref, []).append((opcode, out_b))
+        if "ROOT" in ln[:8 + len(name)] or ln.lstrip().startswith("ROOT"):
+            root = (opcode, refs, out_b)
+    return comps
+
+
+_CALLS_RE = re.compile(r"calls=%?([\w.\-]+)")
 
 
 def build_table(hlo_text: str):
@@ -109,17 +232,35 @@ def build_table(hlo_text: str):
 
     Operand resolution is two-pass: %refs in an instruction's tail are
     counted as data operands only when they name another entry-computation
-    instruction (refs to fused computations / regions resolve to nothing)."""
+    instruction (refs to fused computations / regions resolve to nothing).
+    Fusion operands that are only *sliced* inside the fused computation are
+    charged at their sliced extent (see _fusion_param_reads)."""
     instrs = list(parse_entry(hlo_text))
-    out_bytes = {name: shape_bytes(shape) for name, shape, _, _ in instrs}
+    out_bytes = {name: shape_hbm_bytes(shape)
+                 for name, shape, _, _ in instrs}
+    sliced = _fusion_param_reads(hlo_text)
     rows = []
     for name, shape, opcode, rest in instrs:
         if opcode in _FREE_OPS:
             continue
         write = out_bytes.get(name, 0)
-        read = sum(out_bytes.get(o, 0)
-                   for o in re.findall(r"%([\w.\-]+)", rest)
-                   if o in out_bytes)
+        operands = [o for o in re.findall(r"%([\w.\-]+)", rest)
+                    if o in out_bytes]
+        reduced, dus = {}, None
+        if opcode == "fusion":
+            cm = _CALLS_RE.search(rest)
+            if cm and cm.group(1) in sliced:
+                reduced, dus = sliced[cm.group(1)]
+        elif opcode == "dynamic-update-slice" and len(operands) > 1:
+            # in-place: writes the update region only, never reads the
+            # full target (the buffer is aliased)
+            dus = (0, out_bytes.get(operands[1], 0))
+        if dus is not None:
+            write = min(dus[1], write)
+            reduced = dict(reduced)
+            reduced[dus[0]] = 0
+        read = sum(reduced.get(i, out_bytes.get(o, 0))
+                   for i, o in enumerate(operands))
         rows.append({"name": name, "op": opcode, "read": read,
                      "write": write, "bytes": read + write})
     rows.sort(key=lambda r: -r["bytes"])
