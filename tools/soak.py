@@ -68,6 +68,12 @@ def main():
                          "demo; 2e-4 crosses the 0.5 binarisation within it)")
     args = ap.parse_args()
 
+    # Unique subdir per invocation: the step-watcher and the newest()
+    # checkpoint/metrics lookups glob under args.root — a REUSED root
+    # with a finished run inside made the watcher read the OLD
+    # metrics.jsonl (already at max_steps) and SIGTERM phase 1 during
+    # init (found round 5 on the second --learning run).
+    args.root = os.path.join(args.root, time.strftime("%Y%m%d-%H%M%S"))
     os.makedirs(args.root, exist_ok=True)
     common = ["--model", args.model, "--synthetic_data", "64",
               "--synthetic_test_batches", "2",
@@ -175,10 +181,15 @@ def audit(recs, recs1, args, wall) -> None:
     g_errs = [r.get("g/err_g/train") for r in recs if "g/err_g/train" in r]
 
     if args.learning:
-        # the learning leg's whole point: the scored metric moved.  ROC
-        # starts ~0.5 (random G) and must end well above it.
-        assert max(rocs) > 0.6, f"ROC never rose off 0.5: {rocs}"
-        assert rocs[-1] > rocs[0] + 0.05, f"ROC did not rise: {rocs}"
+        # the learning leg's whole point: the scored metric moved off the
+        # 0.5 pin (a random G's opened-binary sweep scores ~0.5; the
+        # non-learning soak sits there for all 500 steps by construction).
+        # Gate on distance from 0.5, not on a sweep-to-sweep rise: at
+        # lr 2e-4 the thick-mask task is already >0.95 ROC by the FIRST
+        # freq-100 sweep, so demanding rocs[-1] > rocs[0]+0.05 failed a
+        # run that had learned *faster* than the audit assumed.
+        assert max(rocs) > 0.75, f"ROC never rose off 0.5: {rocs}"
+        assert rocs[-1] > 0.75, f"ROC did not STAY learned: {rocs}"
 
     out = {
         "when": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
